@@ -1,0 +1,165 @@
+"""AttnFPN backbone: multi-stage 3D CNN (or Swin) encoder + FPN decoder.
+
+TPU-native re-design of reference ``transoar/models/backbones/attn_fpn.py``:
+- Encoder (attn_fpn.py:148-213): ``num_stages`` stages, channels
+  ``start_channels * 2**stage``; stage 0 keeps full resolution, later stages
+  stride 2. Stages >= 2 optionally become 3D Swin blocks
+  (``use_encoder_attn``, attn_fpn.py:172-192).
+- Decoder (attn_fpn.py:34-145): 1x1 lateral convs, transposed-conv top-down
+  path, 3x3 output convs; builds only the stages actually required by
+  ``out_fmaps`` / ``feature_levels`` / the seg-proxy head (attn_fpn.py:47-53).
+  Optional deformable-attention refinement of the P-levels
+  (``use_decoder_attn``, attn_fpn.py:85-103,129-136).
+
+Layout is channels-last ``[B, S0, S1, S2, C]`` throughout (the TPU conv
+emitter's native layout); compute in bf16, params f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from transoar_tpu.models.layers import EncoderCnnBlock, InstanceNorm
+
+
+def required_stages(config) -> list[int]:
+    """Stages whose P-level must be produced (reference attn_fpn.py:47-53)."""
+    fmaps = list(config["out_fmaps"])
+    if config.get("use_decoder_attn"):
+        fmaps = fmaps + list(config["def_attn"]["feature_levels"])
+    stages = {int(f[-1]) for f in fmaps}
+    if config.get("use_seg_proxy_loss"):
+        stages.add(0)
+    return sorted(stages)
+
+
+class Encoder(nn.Module):
+    """Multi-stage downsampling encoder producing C0..C{num_stages-1}."""
+    config: Dict[str, Any]
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.config
+        num_stages = cfg["num_stages"]
+        use_swin = cfg.get("use_encoder_attn", False)
+
+        outputs = {}
+        features = cfg["start_channels"]
+        for stage in range(num_stages):
+            stride = tuple(cfg["strides"][stage])
+            if use_swin and stage > 1:
+                # Initial patch embedding is done with convs; later stages are
+                # 3D Swin blocks (reference attn_fpn.py:172-185). Swin stages
+                # keep the incoming channel count and downsample 2x at the end
+                # via patch merging, which doubles channels.
+                from transoar_tpu.models.swin import EncoderSwinBlock
+
+                swin_cfg = cfg["swin"]
+                x = EncoderSwinBlock(
+                    depth=swin_cfg["depths"][stage - 2],
+                    num_heads=swin_cfg["num_heads"][stage - 2],
+                    window_size=tuple(swin_cfg["window_size"]),
+                    mlp_ratio=swin_cfg["mlp_ratio"],
+                    qkv_bias=swin_cfg["qkv_bias"],
+                    conv_merging=swin_cfg.get("conv_merging", False),
+                    dtype=self.dtype,
+                    name=f"stage{stage}",
+                )(x, deterministic=deterministic)
+            else:
+                x = EncoderCnnBlock(
+                    features=features, kernel_size=cfg.get("kernel_size", 3),
+                    strides=stride, dtype=self.dtype,
+                    name=f"stage{stage}")(x)
+            outputs[f"C{stage}"] = x
+            features *= 2
+        return outputs
+
+
+class Decoder(nn.Module):
+    """FPN decoder: laterals + top-down transposed-conv path + out convs."""
+    config: Dict[str, Any]
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, enc_out, deterministic=True):
+        cfg = self.config
+        num_stages = cfg["num_stages"]
+        fpn_channels = cfg["fpn_channels"]
+        seg_proxy = cfg.get("use_seg_proxy_loss", False)
+        stages_needed = required_stages(cfg)
+        earliest = 0 if seg_proxy else min(stages_needed)
+
+        enc_channels = [cfg["start_channels"] * 2 ** s for s in range(num_stages)]
+        lateral_stages = list(range(earliest, num_stages))
+        lateral_out_ch = [min(enc_channels[s], fpn_channels) for s in lateral_stages]
+
+        # Lateral 1x1 convs (reference attn_fpn.py:60-63).
+        laterals = {}
+        for s, out_ch in zip(lateral_stages, lateral_out_ch):
+            laterals[s] = nn.Conv(
+                out_ch, kernel_size=(1, 1, 1), dtype=self.dtype,
+                param_dtype=jnp.float32, name=f"lateral{s}")(enc_out[f"C{s}"])
+
+        # Top-down path: upsample via transposed conv with the stride of the
+        # stage transition (reference attn_fpn.py:76-83,109-118).
+        top_down = {}
+        up = None
+        for s in reversed(lateral_stages):
+            x = laterals[s] if up is None else laterals[s] + up
+            top_down[s] = x
+            if s > earliest:
+                stride = tuple(cfg["strides"][s])
+                up = nn.ConvTranspose(
+                    lateral_out_ch[s - earliest - 1], kernel_size=stride,
+                    strides=stride, dtype=self.dtype, param_dtype=jnp.float32,
+                    name=f"up{s}")(x)
+
+        # Out 3x3 convs only for required stages (reference attn_fpn.py:66-73).
+        outputs = {}
+        for s in stages_needed:
+            out_ch = (cfg["start_channels"] if (seg_proxy and s == 0)
+                      else fpn_channels)
+            outputs[f"P{s}"] = nn.Conv(
+                out_ch, kernel_size=(3, 3, 3), padding="SAME",
+                dtype=self.dtype, param_dtype=jnp.float32,
+                name=f"out{s}")(top_down[s])
+
+        # Optional deformable-attention refinement of the feature levels
+        # (reference attn_fpn.py:85-103,129-136).
+        if cfg.get("use_decoder_attn"):
+            from transoar_tpu.models.def_attn import DecoderDefAttnBlock
+
+            da = cfg["def_attn"]
+            levels = list(da["feature_levels"])
+            refined = DecoderDefAttnBlock(
+                hidden_dim=da["hidden_dim"],
+                nheads=da["nheads"],
+                num_layers=da["layers"],
+                dim_feedforward=da["dim_feedforward"],
+                dropout=da["dropout"],
+                n_points=da["n_points"],
+                pos_encoding=da.get("pos_encoding", "sine"),
+                dtype=self.dtype,
+                name="refine",
+            )([outputs[l] for l in levels], deterministic=deterministic)
+            for level, fmap in zip(levels, refined):
+                outputs[level] = fmap
+
+        return outputs
+
+
+class AttnFPN(nn.Module):
+    """Backbone = Encoder + FPN Decoder (reference attn_fpn.py:18-29)."""
+    config: Dict[str, Any]
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        enc_out = Encoder(self.config, dtype=self.dtype,
+                          name="encoder")(x, deterministic=deterministic)
+        return Decoder(self.config, dtype=self.dtype,
+                       name="decoder")(enc_out, deterministic=deterministic)

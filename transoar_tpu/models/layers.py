@@ -1,0 +1,149 @@
+"""Shared NN building blocks (flax.linen), channels-last / bf16-first.
+
+TPU-native counterparts of the reference's basic blocks:
+- ``ConvInReLU`` / ``EncoderCnnBlock``: reference
+  transoar/models/backbones/encoder_blocks.py:14-54 (Conv3d + InstanceNorm3d
+  + ReLU, twice). We use NDHWC layout — XLA's TPU conv emitter wants
+  channels-last so the contraction lands on the MXU without transposes.
+- ``MLP``: reference transoar/models/transoarnet.py:157-171.
+- ``MultiHeadSelfAttention``: torch ``nn.MultiheadAttention`` equivalent used
+  for query self-attention (focused_decoder.py:126).
+
+All modules take ``dtype`` (compute precision, default bfloat16 on TPU) and
+keep parameters in float32 — the functional replacement for torch AMP
+(reference trainer.py:29,67).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# Xavier/Glorot uniform — the reference decoder's explicit init
+# (focused_decoder.py:39-42).
+xavier_uniform = nn.initializers.xavier_uniform()
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm over spatial dims, channels-last ([..., *spatial, C]).
+
+    Equivalent to torch ``nn.InstanceNorm3d(affine=True, eps=1e-5)``
+    (encoder_blocks.py:34): per-sample, per-channel normalization over the
+    spatial axes. Implemented as GroupNorm with group_size=1.
+    """
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(
+            num_groups=None, group_size=1, epsilon=self.epsilon,
+            dtype=self.dtype, use_bias=True, use_scale=True)(x)
+
+
+class ConvInReLU(nn.Module):
+    """Conv3D + InstanceNorm + ReLU (one half of EncoderCnnBlock)."""
+    features: int
+    kernel_size: int = 3
+    strides: Sequence[int] = (1, 1, 1)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features, kernel_size=(self.kernel_size,) * 3,
+            strides=tuple(self.strides), padding="SAME", use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = InstanceNorm(dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class EncoderCnnBlock(nn.Module):
+    """One backbone stage: strided Conv-IN-ReLU then unit-stride Conv-IN-ReLU
+    (reference encoder_blocks.py:28-54)."""
+    features: int
+    kernel_size: int = 3
+    strides: Sequence[int] = (1, 1, 1)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvInReLU(self.features, self.kernel_size, self.strides,
+                       dtype=self.dtype)(x)
+        x = ConvInReLU(self.features, self.kernel_size, (1, 1, 1),
+                       dtype=self.dtype)(x)
+        return x
+
+
+class MLP(nn.Module):
+    """Simple ReLU MLP head (reference transoarnet.py:157-171)."""
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+    dtype: jnp.dtype = jnp.bfloat16
+    # Zero-init of the final layer for anchor-offset prediction
+    # (reference transoarnet.py:53-58).
+    zero_init_last: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers - 1):
+            x = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype,
+                                 param_dtype=jnp.float32)(x))
+        kernel_init = (nn.initializers.zeros if self.zero_init_last
+                       else nn.linen.linear.default_kernel_init)
+        return nn.Dense(self.output_dim, dtype=self.dtype,
+                        param_dtype=jnp.float32, kernel_init=kernel_init)(x)
+
+
+class FFN(nn.Module):
+    """Transformer feed-forward block with residual + post-LayerNorm
+    (reference focused_decoder.py:165-169)."""
+    dim_feedforward: int
+    dropout: float = 0.1
+    activation: Callable = nn.relu
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        d_model = x.shape[-1]
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                     param_dtype=jnp.float32, kernel_init=xavier_uniform)(x)
+        h = self.activation(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(d_model, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=xavier_uniform)(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        x = x + h
+        return nn.LayerNorm(dtype=self.dtype)(x)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Standard MHA for query self-attention (torch nn.MultiheadAttention
+    equivalent, reference focused_decoder.py:126,171-176)."""
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, q, k, v, deterministic=True):
+        d_model = q.shape[-1]
+        head_dim = d_model // self.num_heads
+
+        def proj(x, name):
+            return nn.DenseGeneral(
+                (self.num_heads, head_dim), dtype=self.dtype,
+                param_dtype=jnp.float32, kernel_init=xavier_uniform,
+                name=name)(x)
+
+        qh, kh, vh = proj(q, "q_proj"), proj(k, "k_proj"), proj(v, "v_proj")
+        attn = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / jnp.sqrt(
+            head_dim).astype(self.dtype)
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
+        out = out.reshape(*out.shape[:-2], d_model)
+        return nn.Dense(d_model, dtype=self.dtype, param_dtype=jnp.float32,
+                        kernel_init=xavier_uniform, name="out_proj")(out)

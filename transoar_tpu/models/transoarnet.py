@@ -1,0 +1,152 @@
+"""TransoarNet: backbone + neck + heads, the top-level detection model.
+
+TPU-native re-design of reference ``transoar/models/transoarnet.py``:
+composes the AttnFPN backbone, a query-based neck (Focused Decoder / DETR /
+Deformable DETR), classification + box-regression heads, and optional
+segmentation-proxy head.
+
+Design differences from the reference (all torch-isms removed):
+- Anchors / offset restrictions / attention bias are numpy constants computed
+  once by the ``build_transoarnet`` factory and baked into the jitted graph
+  (vs ``.cuda()`` buffers, transoarnet.py:27-28).
+- Box decoding ``clamp(tanh(pred) * restrictions + anchors, 0, 1)``
+  (transoarnet.py:133-136) runs in float32 regardless of the bf16 compute
+  dtype — box coordinates need the mantissa.
+- Aux outputs are returned as stacked arrays ``[L, B, Q, .]`` rather than a
+  list of dicts (transoarnet.py:146-155): fixed shapes let the criterion
+  vmap over decoder layers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from transoar_tpu.models.anchors import generate_anchors
+from transoar_tpu.models.attn_fpn import AttnFPN
+from transoar_tpu.models.focused_decoder import (FocusedDecoder,
+                                                 generate_attn_bias,
+                                                 level_spatial_shape)
+from transoar_tpu.models.layers import MLP
+from transoar_tpu.models.position_encoding import build_pos_enc
+
+
+class TransoarNet(nn.Module):
+    config: Dict[str, Any]
+    anchors: Any            # np [Q, 6] cxcyczwhd, or None when not anchor-based
+    restrictions: Any       # np [Q, 6], or None
+    attn_bias: Any          # np [organs, S] for the focused neck
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic=True, return_weights=False):
+        """x: [B, S0, S1, S2, C_in] -> dict of predictions.
+
+        Returns:
+          pred_logits [B, Q, 1], pred_boxes [B, Q, 6] (last decoder layer),
+          aux_logits [L-1, B, Q, 1], aux_boxes [L-1, B, Q, 6] (if aux_loss),
+          pred_seg [B, S0, S1, S2, K] (if seg proxy), attn_weights (optional).
+        """
+        cfg = self.config
+        neck_cfg = cfg["neck"]
+        hidden_dim = neck_cfg["hidden_dim"]
+        anchor_offset = neck_cfg["anchor_offset_pred"]
+
+        backbone_out = AttnFPN(cfg["backbone"], dtype=self.dtype,
+                               name="backbone")(x, deterministic=deterministic)
+
+        det_src = backbone_out[neck_cfg["input_levels"]]
+        pos = build_pos_enc(neck_cfg["pos_encoding"], hidden_dim,
+                            dtype=self.dtype)(det_src)
+
+        # Packed (query_pos | tgt) embedding (reference transoarnet.py:45);
+        # N(0, 1) init like torch nn.Embedding.
+        query_embed = self.param(
+            "query_embed", nn.initializers.normal(1.0),
+            (neck_cfg["num_queries"], hidden_dim * 2), jnp.float32)
+
+        hs, weights = FocusedDecoder(
+            neck_cfg, attn_bias=self.attn_bias, dtype=self.dtype,
+            name="neck")(det_src, query_embed, pos,
+                         deterministic=deterministic,
+                         return_weights=return_weights)
+        # hs: [L, B, Q, C]
+
+        zero_init = bool(anchor_offset)  # reference transoarnet.py:50-58
+        logits = nn.Dense(
+            1, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=(nn.initializers.zeros if zero_init
+                         else nn.linen.linear.default_kernel_init),
+            bias_init=nn.initializers.zeros,
+            name="cls_head")(hs).astype(jnp.float32)
+        raw_boxes = MLP(hidden_dim, 6, 3, dtype=self.dtype,
+                        zero_init_last=zero_init,
+                        name="reg_head")(hs).astype(jnp.float32)
+
+        if anchor_offset:
+            anchors = jnp.asarray(self.anchors)
+            restrictions = jnp.asarray(self.restrictions)
+            boxes = jnp.clip(jnp.tanh(raw_boxes) * restrictions + anchors,
+                             0.0, 1.0)
+        else:
+            boxes = nn.sigmoid(raw_boxes)
+
+        out = {
+            "pred_logits": logits[-1],
+            "pred_boxes": boxes[-1],
+        }
+        if neck_cfg.get("aux_loss"):
+            out["aux_logits"] = logits[:-1]
+            out["aux_boxes"] = boxes[:-1]
+
+        if cfg["backbone"].get("use_seg_proxy_loss"):
+            seg_src = backbone_out["P0"]
+            num_seg = 2 if cfg["backbone"].get("fg_bg", True) \
+                else neck_cfg["num_organs"] + 1
+            out["pred_seg"] = nn.Conv(
+                num_seg, kernel_size=(1, 1, 1), dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="seg_head")(seg_src).astype(jnp.float32)
+
+        if return_weights:
+            out["attn_weights"] = weights
+        return out
+
+
+def build_transoarnet(config, dtype: Optional[jnp.dtype] = None):
+    """Factory: compute anchors/restrictions/attention bias from the dataset
+    statistics in ``config['bbox_properties']`` and instantiate the model.
+
+    Mirrors the constant-building part of reference ``TransoarNet.__init__``
+    (transoarnet.py:26-32) and the neck's mask generation
+    (focused_decoder.py:120,138-159).
+    """
+    if dtype is None:
+        name = config.get("trainer", {}).get("precision", "bfloat16")
+        dtype = jnp.bfloat16 if name == "bfloat16" else jnp.float32
+
+    neck_cfg = config["neck"]
+    bbox_props = config["bbox_properties"]
+
+    anchors = restrictions = None
+    if neck_cfg["anchor_offset_pred"]:
+        anchors, restrictions = generate_anchors(neck_cfg, bbox_props)
+
+    patch_size = config["augmentation"]["patch_size"]
+    level = int(neck_cfg["input_levels"][-1])
+    input_shape = level_spatial_shape(patch_size, level)
+    attn_bias = generate_attn_bias(
+        bbox_props, input_shape, restrict=neck_cfg.get("restrict_attn", True))
+
+    return TransoarNet(
+        config=config, anchors=anchors, restrictions=restrictions,
+        attn_bias=attn_bias, dtype=dtype)
+
+
+def count_params(params) -> int:
+    import jax
+
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
