@@ -1,0 +1,227 @@
+"""Training loop: one jitted, donated, mesh-sharded train step.
+
+TPU-native re-design of reference ``transoar/trainer.py``:
+
+- The reference's per-step pipeline is python: host->device copies, autocast
+  forward, *CPU* matching (matcher.py:29 — a device->host round trip every
+  step), backward, ``.item()`` syncs (trainer.py:54-92). Here the entire
+  step — bbox-from-segmentation target derivation, forward, matching, loss,
+  gradients, optimizer update — is ONE jitted XLA computation with the train
+  state donated (no reallocation) and batch inputs sharded over the device
+  mesh (dp batch axis / optional sp spatial axis).
+- Mixed precision is bf16 compute + f32 params/optimizer (replacing torch
+  AMP + GradScaler; bf16 needs no loss scaling).
+- Loss scalars transfer to host once per step for aggregation.
+- Validation reuses the evaluator protocol and checkpoint-best semantics of
+  the reference (trainer.py:112-201): initial validation at epoch 0, best
+  checkpoint keyed on ``mAP_coco``, TensorBoard scalars for losses / metrics
+  / learning rates.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transoar_tpu.eval.evaluator import build_evaluator
+from transoar_tpu.models.criterion import Criterion, total_loss
+from transoar_tpu.parallel import mesh as mesh_lib
+from transoar_tpu.training import checkpoints as ckpt_lib
+from transoar_tpu.training.inference import inference
+from transoar_tpu.training.train_state import current_lrs
+from transoar_tpu.utils.boxes import segmentation2bbox
+
+logger = logging.getLogger(__name__)
+
+
+def derive_targets(seg, num_classes, bbox_padding=1):
+    """On-device bbox targets from the segmentation batch — replaces the
+    reference collator's per-batch CPU ``segmentation2bbox``
+    (dataloader.py:56)."""
+    boxes, present = segmentation2bbox(seg, num_classes, padding=bbox_padding)
+    return {"boxes": boxes, "present": present, "seg": seg}
+
+
+def make_train_step(model, criterion: Criterion, config, anchors):
+    coefs = config["loss_coefs"]
+    num_classes = config["neck"]["num_organs"]
+    padding = config.get("bbox_padding", 1)
+    anchors = jnp.asarray(anchors) if anchors is not None else None
+
+    def train_step(state, batch, rng):
+        targets = derive_targets(batch["seg"], num_classes, padding)
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out = model.apply({"params": params}, batch["image"],
+                              deterministic=False,
+                              rngs={"dropout": step_rng})
+            losses = criterion(out, targets, anchors)
+            return total_loss(losses, coefs), losses
+
+        (loss, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        losses["total"] = loss
+        return state, losses
+
+    return train_step
+
+
+def make_eval_step(model, criterion: Criterion, config, anchors):
+    coefs = config["loss_coefs"]
+    num_classes = config["neck"]["num_organs"]
+    padding = config.get("bbox_padding", 1)
+    anchors = jnp.asarray(anchors) if anchors is not None else None
+
+    def eval_step(state, batch):
+        targets = derive_targets(batch["seg"], num_classes, padding)
+        out = model.apply({"params": state.params}, batch["image"],
+                          deterministic=True)
+        losses = criterion(out, targets, anchors)
+        losses["total"] = total_loss(losses, coefs)
+        preds = {"pred_logits": out["pred_logits"],
+                 "pred_boxes": out["pred_boxes"]}
+        return losses, preds, targets
+
+    return eval_step
+
+
+class Trainer:
+    def __init__(self, config, model, train_loader, val_loader, path_to_run,
+                 mesh=None, start_epoch=0, metric_start_val=0.0, state=None,
+                 rng=None, log_writer=None):
+        self._config = config
+        self._model = model
+        self._train_loader = train_loader
+        self._val_loader = val_loader
+        self._path_to_run = Path(path_to_run)
+        self._epoch_to_start = start_epoch
+        self._metric_max_val = metric_start_val
+        self._main_metric_key = "mAP_coco"
+
+        self._mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self._rng = rng if rng is not None else jax.random.key(
+            config.get("seed", 0))
+
+        self._criterion = Criterion(config)
+        self._evaluator = build_evaluator(config)
+        self._writer = log_writer
+        if log_writer is None:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._writer = SummaryWriter(log_dir=str(self._path_to_run))
+            except ImportError:
+                self._writer = None
+
+        anchors = model.anchors
+        replicated = mesh_lib.replicated(self._mesh)
+        self._train_step = jax.jit(
+            make_train_step(model, self._criterion, config, anchors),
+            donate_argnums=(0,),
+            out_shardings=(replicated, replicated),
+        )
+        self._eval_step = jax.jit(
+            make_eval_step(model, self._criterion, config, anchors))
+
+        self.state = state
+
+    # -- data placement ----------------------------------------------------
+    def _device_batch(self, batch):
+        return mesh_lib.shard_batch(
+            {"image": batch["image"], "seg": batch["seg"]}, self._mesh)
+
+    # -- loops -------------------------------------------------------------
+    def _train_one_epoch(self, epoch):
+        agg = {}
+        count = 0
+        for batch in self._train_loader:
+            self.state, losses = self._train_step(
+                self.state, self._device_batch(batch), self._rng)
+            losses = jax.device_get(losses)
+            for key, val in losses.items():
+                agg[key] = agg.get(key, 0.0) + float(val)
+            count += 1
+        means = {k: v / max(count, 1) for k, v in agg.items()}
+        self._log(epoch, "train", means)
+        return means
+
+    def _validate(self, epoch):
+        agg = {}
+        count = 0
+        num_organs = self._config["neck"]["num_organs"]
+        for batch in self._val_loader:
+            losses, preds, targets = self._eval_step(
+                self.state, self._device_batch(batch))
+            losses = jax.device_get(losses)
+            for key, val in losses.items():
+                agg[key] = agg.get(key, 0.0) + float(val)
+            count += 1
+
+            boxes, classes, scores = inference(
+                jax.device_get(preds), num_organs)
+            tgt_boxes = np.asarray(targets["boxes"])
+            tgt_present = np.asarray(targets["present"])
+            gt_boxes = [tb[tp] for tb, tp in zip(tgt_boxes, tgt_present)]
+            gt_classes = [np.nonzero(tp)[0] + 1 for tp in tgt_present]
+            self._evaluator.add(boxes, classes, scores, gt_boxes, gt_classes)
+
+        means = {k: v / max(count, 1) for k, v in agg.items()}
+        metric_scores = self._evaluator.eval()
+        self._evaluator.reset()
+
+        if (metric_scores[self._main_metric_key] >= self._metric_max_val
+                and not self._config.get("debug_mode")):
+            self._metric_max_val = metric_scores[self._main_metric_key]
+            ckpt_lib.save_checkpoint(
+                self._path_to_run,
+                f"model_best_{metric_scores[self._main_metric_key]:.3f}",
+                self.state, epoch, self._metric_max_val)
+
+        self._log(epoch, "val", means)
+        self._log(epoch, "val_metric", {
+            k: metric_scores[k] for k in (
+                "mAP_coco", "mAP_coco_s", "mAP_coco_m", "mAP_coco_l",
+                "mAP_nndet", "AP_IoU_0.10", "AP_IoU_0.50", "AP_IoU_0.75")
+            if k in metric_scores})
+        return means, metric_scores
+
+    def run(self):
+        assert self.state is not None, "trainer needs an initialized state"
+        cfg = self._config["trainer"]
+        steps_per_epoch = max(len(self._train_loader), 1)
+
+        if self._epoch_to_start == 0:  # initial estimate (trainer.py:204-205)
+            self._validate(0)
+
+        for epoch in range(self._epoch_to_start + 1, cfg["epochs"] + 1):
+            t0 = time.monotonic()
+            train_losses = self._train_one_epoch(epoch)
+
+            self._log(epoch, "lr",
+                      current_lrs(self.state, self._config, steps_per_epoch))
+
+            if epoch % cfg["val_interval"] == 0:
+                self._validate(epoch)
+
+            if not self._config.get("debug_mode"):
+                ckpt_lib.save_checkpoint(self._path_to_run, "model_last",
+                                         self.state, epoch,
+                                         self._metric_max_val)
+            logger.info("epoch %d done in %.1fs total_loss=%.4f", epoch,
+                        time.monotonic() - t0,
+                        train_losses.get("total", float("nan")))
+
+    # -- logging -----------------------------------------------------------
+    def _log(self, epoch, category, scalars):
+        if self._writer is None:
+            return
+        for key, value in scalars.items():
+            self._writer.add_scalar(f"{category}/{key}", value, epoch)
