@@ -1,0 +1,99 @@
+"""Benchmark: CT volumes/sec/chip on the flagship training step.
+
+Measures the full jitted training step (on-device bbox-target derivation +
+forward + matching + loss + backward + AdamW update) of the Focused Decoder
++ AttnFPN flagship on AMOS-shaped volumes (256x256x128, batch 2 — the
+reference workload, BASELINE.md), on whatever accelerator JAX exposes.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md §1).
+``REFERENCE_VOLUMES_PER_SEC`` is a documented estimate of the reference
+PyTorch pipeline on its README-era GPU (single V100/RTX-class card, AMP,
+batch 2, CPU matcher round-trip each step — conservatively ~1 step/s =
+2 volumes/s). ``vs_baseline`` is measured/estimate; the driver's north star
+is >= 5x (BASELINE.json).
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_VOLUMES_PER_SEC = 2.0  # documented estimate, see module docstring
+
+
+def build_benchmark(batch_size, patch):
+    from transoar_tpu.models.criterion import Criterion
+    from transoar_tpu.models.transoarnet import build_transoarnet
+    from transoar_tpu.presets import flagship_config
+    from transoar_tpu.training.train_state import create_train_state
+    from transoar_tpu.training.trainer import make_train_step
+
+    config = flagship_config(batch_size=batch_size, patch_size=patch)
+    model = build_transoarnet(config)
+
+    example = jnp.zeros((batch_size, *patch, 1))
+    state = create_train_state(model, config, example, jax.random.key(0),
+                               steps_per_epoch=100)
+
+    train_step = jax.jit(
+        make_train_step(model, Criterion(config), config, model.anchors),
+        donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(
+        rng.normal(size=(batch_size, *patch, 1)).astype(np.float32))
+    seg = np.zeros((batch_size, *patch), np.int32)
+    # populate organs roughly where the synthetic priors put them
+    for cls, props in config["bbox_properties"].items():
+        c = np.asarray(props["median"][:3]) * np.asarray(patch)
+        s = np.maximum(np.asarray(props["median"][3:]) * np.asarray(patch), 8)
+        lo = np.maximum((c - s / 2).astype(int), 0)
+        hi = np.minimum((c + s / 2).astype(int), patch)
+        seg[:, lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]] = int(cls)
+    seg = jnp.asarray(seg)
+
+    batch = {"image": image, "seg": seg}
+    return state, train_step, batch
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch_size", type=int, default=2)
+    parser.add_argument("--patch", type=int, nargs=3, default=[256, 256, 128])
+    parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--warmup", type=int, default=3)
+    args = parser.parse_args()
+
+    state, train_step, batch = build_benchmark(args.batch_size,
+                                               tuple(args.patch))
+    rng = jax.random.key(0)
+
+    for _ in range(args.warmup):
+        state, losses = train_step(state, batch, rng)
+    jax.block_until_ready(losses)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, losses = train_step(state, batch, rng)
+    jax.block_until_ready(losses)
+    elapsed = time.perf_counter() - t0
+
+    volumes_per_sec = args.batch_size * args.steps / elapsed
+    print(json.dumps({
+        "metric": "CT volumes/sec/chip (Focused Decoder train step, "
+                  "%dx%dx%d, batch %d)" % (*args.patch, args.batch_size),
+        "value": round(volumes_per_sec, 4),
+        "unit": "volumes/sec",
+        "vs_baseline": round(volumes_per_sec / REFERENCE_VOLUMES_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Training entry point.
+
+Public API preserved from the reference (scripts/train.py:98-118):
+
+    python scripts/train.py --config <name> [--resume <ckpt>] [--data_dir D]
+
+Builds loaders/model/criterion/optimizer, seeds everything, freezes the run
+config to ``runs/<experiment>/config.json`` and runs the Trainer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import random
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transoar_tpu.data.dataset import get_loader
+from transoar_tpu.models.transoarnet import build_transoarnet, count_params
+from transoar_tpu.parallel.mesh import mesh_from_config
+from transoar_tpu.training import checkpoints as ckpt_lib
+from transoar_tpu.training.train_state import create_train_state
+from transoar_tpu.training.trainer import Trainer
+from transoar_tpu.utils.io import get_config, set_root_logger, validate_config
+
+logger = logging.getLogger(__name__)
+
+
+def train(config, args):
+    data_dir = args.data_dir
+
+    train_loader = get_loader(config, "train", data_dir=data_dir)
+    # overfit mode trains and validates on the same data
+    # (reference train.py:34-37)
+    val_split = "train" if config.get("overfit") else "val"
+    val_loader = get_loader(config, val_split, data_dir=data_dir)
+
+    model = build_transoarnet(config)
+    mesh = mesh_from_config(config)
+
+    patch = config["augmentation"]["patch_size"]
+    batch = config["trainer"]["batch_size"]
+    example = jnp.zeros((batch, *patch, config["backbone"]["in_channels"]))
+    rng = jax.random.key(config["seed"])
+    state = create_train_state(model, config, example, rng,
+                               steps_per_epoch=max(len(train_loader), 1))
+    logger.info("model parameters: %.2fM", count_params(state.params) / 1e6)
+
+    epoch, metric_start_val = 0, 0.0
+    if args.resume:
+        state, epoch, metric_start_val = ckpt_lib.restore_checkpoint(
+            args.resume, state)
+        logger.info("resumed from %s at epoch %d (best %.3f)", args.resume,
+                    epoch, metric_start_val)
+
+    path_to_run = Path.cwd() / "runs" / config["experiment_name"]
+    ckpt_lib.freeze_run_config(config, path_to_run)
+
+    trainer = Trainer(config, model, train_loader, val_loader, path_to_run,
+                      mesh=mesh, start_epoch=epoch,
+                      metric_start_val=metric_start_val, state=state, rng=rng)
+    trainer.run()
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True,
+                        help="Config name in ./config (without .yaml).")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Path to a checkpoint directory to resume from.")
+    parser.add_argument("--data_dir", type=str, default=None,
+                        help="Dataset root (default ./dataset).")
+    args = parser.parse_args()
+
+    config = validate_config(get_config(args.config,
+                                        dataset_dir=args.data_dir))
+
+    np.random.seed(config["seed"])
+    random.seed(config["seed"])
+
+    set_root_logger(Path.cwd() / "logs" / "train.log")
+    train(config, args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,17 +1,22 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
 Multi-chip sharding is validated without TPU hardware by forcing the host
-platform and splitting it into 8 virtual devices — this must happen before
-jax initializes its backends, hence the env mutation at import time.
+platform and splitting it into 8 virtual devices. The environment pre-imports
+jax (sitecustomize) and pins JAX_PLATFORMS, so the override must go through
+``jax.config`` before the backend is first initialized — conftest import
+time is early enough.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -20,3 +25,9 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_mesh():
+    assert jax.default_backend() == "cpu"
+    assert len(jax.devices()) == 8
