@@ -1,0 +1,197 @@
+"""Deformable-attention modules: MSDeformAttn head + the FPN refinement
+block (the Deformable-DETR-encoder over multi-level voxel tokens).
+
+TPU-native re-design of:
+- ``MSDeformAttn`` (reference transoar/models/ops/modules/ms_deform_attn.py:
+  30-141): linear heads predicting per-query sampling offsets
+  (n_heads*n_levels*n_points*3) and softmax attention weights over
+  levels*points; offsets normalized by the level spatial shape in XYZ order
+  (ms_deform_attn.py:123-128); directional grid bias init for n_heads in
+  {6, 26} (ms_deform_attn.py:63-82).
+- ``DecoderDefAttnBlock`` / ``DefAttnTransformer`` / ``DefAttnLayer``
+  (reference transoar/models/backbones/decoder_blocks.py): flatten levels +
+  learned level embeddings, per-voxel reference points, N layers of
+  deformable self-attention + FFN.
+
+The sampling core is ``transoar_tpu.ops.deformable_attention`` (XLA gathers;
+Pallas variant in ``transoar_tpu.ops.pallas``) instead of the reference's
+2.2k-line CUDA extension.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from transoar_tpu.models.layers import FFN, xavier_uniform
+from transoar_tpu.models.position_encoding import build_pos_enc
+from transoar_tpu.ops.deformable_attention import ms_deform_attn
+
+
+def directional_offset_bias(n_heads, n_levels, n_points):
+    """Init bias of the sampling-offset head: each head looks along one of
+    the 6 (or 26) axis/diagonal directions, point i stepping i+1 voxels
+    (reference ms_deform_attn.py:63-82)."""
+    dirs = np.array([[a, b, c] for a in (-1, 0, 1) for b in (-1, 0, 1)
+                     for c in (-1, 0, 1)], np.float32)
+    l1 = np.abs(dirs).sum(-1)
+    if n_heads == 26:
+        dirs = dirs[l1 > 0]
+    elif n_heads == 6:
+        dirs = dirs[(l1 > 0) & (l1 < 2)]
+    else:
+        raise ValueError("n_heads must be 6 or 26 for directional init, got "
+                         f"{n_heads}")
+    grid = np.tile(dirs[:, None, None, :], (1, n_levels, n_points, 1))
+    for i in range(n_points):
+        grid[:, :, i, :] *= i + 1
+    return grid.reshape(-1)
+
+
+class MSDeformAttn(nn.Module):
+    d_model: int
+    n_levels: int
+    n_heads: int
+    n_points: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, query, reference_points, input_flatten,
+                 spatial_shapes):
+        """query [B, Q, C]; reference_points [B, Q, L, 3] (normalized XYZ);
+        input_flatten [B, S, C]; spatial_shapes static [(s0, s1, s2)] * L.
+        """
+        if self.d_model % self.n_heads:
+            raise ValueError("d_model must divide n_heads")
+        B, Q, C = query.shape
+        M, L, P = self.n_heads, self.n_levels, self.n_points
+        D = self.d_model // M
+
+        value = nn.Dense(self.d_model, dtype=self.dtype,
+                         param_dtype=jnp.float32, kernel_init=xavier_uniform,
+                         name="value_proj")(input_flatten)
+        value = value.reshape(B, -1, M, D)
+
+        bias_init = directional_offset_bias(M, L, P)
+        offsets = nn.Dense(
+            M * L * P * 3, dtype=jnp.float32, param_dtype=jnp.float32,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda *_: jnp.asarray(bias_init),
+            name="sampling_offsets")(query.astype(jnp.float32))
+        offsets = offsets.reshape(B, Q, M, L, P, 3)
+
+        weights = nn.Dense(
+            M * L * P, dtype=jnp.float32, param_dtype=jnp.float32,
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            name="attention_weights")(query.astype(jnp.float32))
+        weights = nn.softmax(weights.reshape(B, Q, M, L * P), axis=-1)
+        weights = weights.reshape(B, Q, M, L, P)
+
+        # normalize offsets by level shape in XYZ order
+        # (reference ms_deform_attn.py:123-128)
+        normalizer = jnp.asarray(
+            [[s2, s1, s0] for (s0, s1, s2) in spatial_shapes],
+            jnp.float32)  # [L, 3]
+        locations = (reference_points[:, :, None, :, None, :]
+                     + offsets / normalizer[None, None, None, :, None, :])
+
+        out = ms_deform_attn(value, spatial_shapes, locations,
+                             weights.astype(value.dtype))
+        return nn.Dense(self.d_model, dtype=self.dtype,
+                        param_dtype=jnp.float32, kernel_init=xavier_uniform,
+                        name="output_proj")(out)
+
+
+def reference_points(spatial_shapes):
+    """Per-voxel normalized center coordinates, XYZ order, concatenated over
+    levels (reference decoder_blocks.py:107-131) -> [S, L, 3] (broadcastable
+    over batch; identical per level axis as valid ratios are all ones)."""
+    pts = []
+    for (s0, s1, s2) in spatial_shapes:
+        g0, g1, g2 = np.meshgrid(
+            (np.arange(s0) + 0.5) / s0,
+            (np.arange(s1) + 0.5) / s1,
+            (np.arange(s2) + 0.5) / s2, indexing="ij")
+        # XYZ: coordinate 0 = last axis
+        pts.append(np.stack([g2, g1, g0], -1).reshape(-1, 3))
+    ref = np.concatenate(pts, 0).astype(np.float32)  # [S, 3]
+    L = len(spatial_shapes)
+    return np.tile(ref[:, None, :], (1, L, 1))  # [S, L, 3]
+
+
+class DefAttnLayer(nn.Module):
+    d_model: int
+    dim_feedforward: int
+    dropout: float
+    n_levels: int
+    n_heads: int
+    n_points: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, src, pos, ref_pts, spatial_shapes, deterministic=True):
+        attn = MSDeformAttn(self.d_model, self.n_levels, self.n_heads,
+                            self.n_points, dtype=self.dtype,
+                            name="self_attn")(
+            src + pos, ref_pts, src, spatial_shapes)
+        src = src + nn.Dropout(self.dropout)(attn,
+                                             deterministic=deterministic)
+        src = nn.LayerNorm(dtype=self.dtype)(src)
+        return FFN(self.dim_feedforward, dropout=self.dropout,
+                   dtype=self.dtype)(src, deterministic=deterministic)
+
+
+class DecoderDefAttnBlock(nn.Module):
+    """Refine FPN levels with deformable self-attention over the
+    concatenated multi-level token sequence (reference
+    decoder_blocks.py:12-97)."""
+    hidden_dim: int
+    nheads: int
+    num_layers: int
+    dim_feedforward: int
+    dropout: float
+    n_points: int
+    pos_encoding: str = "sine"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, fmaps: Sequence[jnp.ndarray], deterministic=True):
+        """fmaps: list of [B, s0, s1, s2, C] -> refined list, same shapes."""
+        L = len(fmaps)
+        B = fmaps[0].shape[0]
+        C = fmaps[0].shape[-1]
+        spatial_shapes = tuple(tuple(f.shape[1:4]) for f in fmaps)
+
+        level_embed = self.param("level_embed",
+                                 nn.initializers.normal(1.0),
+                                 (L, C), jnp.float32)
+        pos_enc = build_pos_enc(self.pos_encoding, C, dtype=self.dtype)
+
+        src, pos = [], []
+        for lvl, fmap in enumerate(fmaps):
+            src.append(fmap.reshape(B, -1, C))
+            p = pos_enc(fmap).reshape(B, -1, C)
+            pos.append(p + level_embed[lvl].astype(self.dtype))
+        src = jnp.concatenate(src, axis=1)
+        pos = jnp.concatenate(pos, axis=1)
+
+        ref = jnp.asarray(reference_points(spatial_shapes))[None]
+
+        for i in range(self.num_layers):
+            src = DefAttnLayer(
+                self.hidden_dim, self.dim_feedforward, self.dropout,
+                n_levels=L, n_heads=self.nheads, n_points=self.n_points,
+                dtype=self.dtype, name=f"layer{i}")(
+                    src, pos, ref, spatial_shapes,
+                    deterministic=deterministic)
+
+        out = []
+        start = 0
+        for (s0, s1, s2) in spatial_shapes:
+            size = s0 * s1 * s2
+            out.append(src[:, start:start + size].reshape(B, s0, s1, s2, C))
+            start += size
+        return out
