@@ -1,0 +1,75 @@
+"""3D Swin block tests: window partition roundtrip, mask structure, stage
+shapes, and the SwinFPN backbone end to end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.helpers import tiny_config
+from transoar_tpu.models.swin import (EncoderSwinBlock, PatchMerging,
+                                      relative_position_index,
+                                      shifted_window_mask, window_partition,
+                                      window_reverse)
+from transoar_tpu.models.transoarnet import build_transoarnet
+
+
+def test_window_partition_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(2, 4, 6, 4, 3)).astype(np.float32))
+    ws = (2, 3, 2)
+    w = window_partition(x, ws)
+    assert w.shape == (2 * 2 * 2 * 2, 12, 3)
+    back = window_reverse(w, ws, 2, 4, 6, 4)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_relative_position_index_bounds():
+    ws = (3, 3, 2)
+    idx = relative_position_index(ws)
+    N = 3 * 3 * 2
+    assert idx.shape == (N, N)
+    table_size = (2 * 3 - 1) * (2 * 3 - 1) * (2 * 2 - 1)
+    assert idx.min() >= 0 and idx.max() < table_size
+    # self-relative position identical for all tokens
+    assert len(set(np.diag(idx).tolist())) == 1
+
+
+def test_shifted_window_mask_blocks_cross_region():
+    mask = shifted_window_mask((4, 4, 4), (2, 2, 2), (1, 1, 1))
+    nW = 8
+    assert mask.shape == (nW, 8, 8)
+    # interior window (first) has no masking; wrapped ones do
+    assert (mask == 0).any() and (mask == -100).any()
+    assert np.all(np.diagonal(mask, axis1=1, axis2=2) == 0)
+
+
+def test_encoder_swin_block_shapes():
+    block = EncoderSwinBlock(depth=2, num_heads=2, window_size=(2, 2, 2),
+                             dtype=jnp.float32)
+    x = jnp.ones((1, 8, 8, 4, 6))
+    params = block.init(jax.random.key(0), x)
+    out = block.apply(params, x)
+    assert out.shape == (1, 4, 4, 2, 12)  # merged: spatial /2, channels x2
+
+
+def test_patch_merging_odd_sizes():
+    pm = PatchMerging(dim=4, dtype=jnp.float32)
+    x = jnp.ones((1, 5, 6, 3, 4))
+    params = pm.init(jax.random.key(0), x)
+    out = pm.apply(params, x)
+    assert out.shape == (1, 3, 3, 2, 8)
+
+
+def test_swin_fpn_backbone_forward():
+    cfg = tiny_config(num_organs=2, qpo=1, precision="float32")
+    cfg["backbone"]["use_encoder_attn"] = True
+    cfg["backbone"]["swin"] = {
+        "depths": [1, 1], "num_heads": [2, 2], "window_size": [2, 2, 2],
+        "mlp_ratio": 2, "qkv_bias": True, "drop_path_rate": 0.0,
+        "conv_merging": False,
+    }
+    model = build_transoarnet(cfg)
+    x = jnp.zeros((1, 32, 32, 16, 1))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out["pred_logits"].shape == (1, 2, 1)
+    assert np.isfinite(np.asarray(out["pred_boxes"])).all()

@@ -1,0 +1,246 @@
+"""3D Swin Transformer encoder blocks (SwinFPN variant).
+
+TPU-native re-design of reference
+``transoar/models/backbones/encoder_blocks.py:56-400``:
+- ``WindowAttention3D`` (encoder_blocks.py:212-285): window-local MHA with a
+  3D relative-position-bias table indexed by precomputed relative indices.
+- ``SwinBlock`` (encoder_blocks.py:123-210): LN -> (shifted-)window
+  attention -> residual, LN -> MLP(GELU) -> residual. Shifts are cyclic
+  rolls; the shifted-window cross-window mask is computed once per static
+  shape (encoder_blocks.py:387-400) in numpy and baked in as a constant.
+- ``PatchMerging`` (encoder_blocks.py:305-334): 2x2x2 neighborhood concat
+  (8C) -> LN -> Linear to 2C. ``ConvPatchMerging`` (encoder_blocks.py:
+  336-358): strided conv + InstanceNorm + ReLU.
+
+Everything is channels-last and fixed-shape; window partitioning is pure
+reshape/transpose, so XLA fuses it into the attention kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from transoar_tpu.models.layers import InstanceNorm, xavier_uniform
+
+
+def effective_window(spatial, window_size, shift_size):
+    """Clamp window to the volume size; no shift along collapsed axes
+    (reference get_window_size, encoder_blocks.py:371-384)."""
+    ws, ss = list(window_size), list(shift_size)
+    for i, s in enumerate(spatial):
+        if s <= window_size[i]:
+            ws[i] = s
+            ss[i] = 0
+    return tuple(ws), tuple(ss)
+
+
+def window_partition(x, ws):
+    """[B, D, H, W, C] -> [B*nW, ws0*ws1*ws2, C] (encoder_blocks.py:360-364)."""
+    B, D, H, W, C = x.shape
+    x = x.reshape(B, D // ws[0], ws[0], H // ws[1], ws[1], W // ws[2], ws[2],
+                  C)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(-1, ws[0] * ws[1] * ws[2], C)
+
+
+def window_reverse(windows, ws, B, D, H, W):
+    x = windows.reshape(B, D // ws[0], H // ws[1], W // ws[2], ws[0], ws[1],
+                        ws[2], -1)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(B, D, H, W, -1)
+
+
+def relative_position_index(ws) -> np.ndarray:
+    """[N, N] indices into the (2w0-1)(2w1-1)(2w2-1) bias table
+    (encoder_blocks.py:234-248)."""
+    coords = np.stack(np.meshgrid(np.arange(ws[0]), np.arange(ws[1]),
+                                  np.arange(ws[2]), indexing="ij"))
+    flat = coords.reshape(3, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # [3, N, N]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += ws[0] - 1
+    rel[:, :, 1] += ws[1] - 1
+    rel[:, :, 2] += ws[2] - 1
+    rel[:, :, 0] *= (2 * ws[1] - 1) * (2 * ws[2] - 1)
+    rel[:, :, 1] *= 2 * ws[2] - 1
+    return rel.sum(-1)
+
+
+def shifted_window_mask(padded_shape, ws, ss) -> np.ndarray:
+    """[nW, N, N] additive mask (0 / -100) separating the cyclically wrapped
+    regions of shifted windows (encoder_blocks.py:387-400)."""
+    Dp, Hp, Wp = padded_shape
+    img = np.zeros((1, Dp, Hp, Wp, 1), np.float32)
+    cnt = 0
+    for d in (slice(-ws[0]), slice(-ws[0], -ss[0]) if ss[0] else slice(0, 0),
+              slice(-ss[0], None) if ss[0] else slice(0, 0)):
+        for h in (slice(-ws[1]),
+                  slice(-ws[1], -ss[1]) if ss[1] else slice(0, 0),
+                  slice(-ss[1], None) if ss[1] else slice(0, 0)):
+            for w in (slice(-ws[2]),
+                      slice(-ws[2], -ss[2]) if ss[2] else slice(0, 0),
+                      slice(-ss[2], None) if ss[2] else slice(0, 0)):
+                img[:, d, h, w, :] = cnt
+                cnt += 1
+    windows = np.asarray(window_partition(jnp.asarray(img), ws))[..., 0]
+    diff = windows[:, None, :] - windows[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention3D(nn.Module):
+    dim: int
+    window_size: Tuple[int, int, int]
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic=True):
+        """x: [B_, N, C]; mask: [nW, N, N] or None."""
+        B_, N, C = x.shape
+        H = self.num_heads
+        head_dim = C // H
+        scale = head_dim ** -0.5
+        ws = self.window_size
+
+        qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="qkv")(x)
+        qkv = qkv.reshape(B_, N, 3, H, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * scale, qkv[1], qkv[2]  # [B_, H, N, hd]
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
+
+        table = self.param(
+            "rel_pos_bias",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws[0] - 1) * (2 * ws[1] - 1) * (2 * ws[2] - 1), H),
+            jnp.float32)
+        idx = jnp.asarray(relative_position_index(ws).reshape(-1))
+        bias = table[idx].reshape(N, N, H).transpose(2, 0, 1)
+        attn = attn + bias[None]
+
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(B_ // nW, nW, H, N, N) + \
+                jnp.asarray(mask)[None, :, None]
+            attn = attn.reshape(B_, H, N, N)
+
+        attn = nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+        return nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: Tuple[int, int, int]
+    shift: bool
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        """x: [B, D, H, W, C]."""
+        B, D, H, W, C = x.shape
+        ws, ss = effective_window(
+            (D, H, W), self.window_size,
+            tuple(w // 2 for w in self.window_size) if self.shift
+            else (0, 0, 0))
+
+        shortcut = x
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+
+        pad = [(0, (ws[i] - x.shape[1 + i] % ws[i]) % ws[i]) for i in range(3)]
+        x = jnp.pad(x, [(0, 0)] + pad + [(0, 0)])
+        Dp, Hp, Wp = x.shape[1:4]
+
+        if any(ss):
+            x = jnp.roll(x, shift=(-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
+            mask = shifted_window_mask((Dp, Hp, Wp), ws, ss)
+        else:
+            mask = None
+
+        windows = window_partition(x, ws)
+        attn = WindowAttention3D(C, ws, self.num_heads, self.qkv_bias,
+                                 dtype=self.dtype, name="attn")(
+            windows, mask=mask, deterministic=deterministic)
+        x = window_reverse(attn, ws, B, Dp, Hp, Wp)
+
+        if any(ss):
+            x = jnp.roll(x, shift=ss, axis=(1, 2, 3))
+        x = x[:, :D, :H, :W]
+
+        x = shortcut + x
+
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
+                     param_dtype=jnp.float32, name="mlp1")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="mlp2")(h)
+        return x + h
+
+
+class PatchMerging(nn.Module):
+    """2x2x2 -> 8C concat -> LN -> Linear(2C) (encoder_blocks.py:305-334)."""
+    dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        B, D, H, W, C = x.shape
+        pad = [(0, D % 2), (0, H % 2), (0, W % 2)]
+        x = jnp.pad(x, [(0, 0)] + pad + [(0, 0)])
+        parts = [x[:, d::2, h::2, w::2]
+                 for d in (0, 1) for h in (0, 1) for w in (0, 1)]
+        x = jnp.concatenate(parts, axis=-1)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32)(x)
+
+
+class ConvPatchMerging(nn.Module):
+    dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.dim * 2, kernel_size=(2, 2, 2), strides=(2, 2, 2),
+                    use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
+        x = InstanceNorm(dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class EncoderSwinBlock(nn.Module):
+    """One encoder stage: ``depth`` SwinBlocks (alternating shifted windows)
+    followed by patch merging (encoder_blocks.py:56-121).
+
+    The reference applies blocks at the incoming channel count, then merges
+    (downsample + channel doubling) at the end of the stage.
+    """
+    depth: int
+    num_heads: int
+    window_size: Sequence[int]
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    conv_merging: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        C = x.shape[-1]
+        for i in range(self.depth):
+            x = SwinBlock(C, self.num_heads, tuple(self.window_size),
+                          shift=(i % 2 == 1), mlp_ratio=self.mlp_ratio,
+                          qkv_bias=self.qkv_bias, dtype=self.dtype,
+                          name=f"block{i}")(x, deterministic=deterministic)
+        merging = ConvPatchMerging if self.conv_merging else PatchMerging
+        return merging(C, dtype=self.dtype, name="merge")(x)
