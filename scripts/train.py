@@ -40,7 +40,14 @@ def train(config, args):
     val_loader = get_loader(config, val_split, data_dir=data_dir)
 
     model = build_transoarnet(config)
-    mesh = mesh_from_config(config)
+    par = config.get("parallel", {}) or {}
+    if par.get("dp", -1) == -1 and par.get("sp", 1) == 1:
+        # default: largest data-parallel mesh that divides the batch
+        from transoar_tpu.parallel.mesh import auto_mesh
+
+        mesh = auto_mesh(config["trainer"]["batch_size"])
+    else:
+        mesh = mesh_from_config(config)
 
     patch = config["augmentation"]["patch_size"]
     batch = config["trainer"]["batch_size"]

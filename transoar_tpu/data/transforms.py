@@ -1,0 +1,211 @@
+"""On-device training augmentation: one fused affine resample + intensity
+ops, all jittable functions of a PRNG key.
+
+TPU-native re-design of the reference's MONAI CPU pipeline
+(transoar/data/transforms.py:77-208). The reference chains RandRotated,
+RandZoomd, RandAffined (translate), RandAffined (shear), RandFlipd x3 — each
+a separate CPU resample in 16 DataLoader workers. Here the spatial
+transforms compose into ONE affine matrix and a single trilinear (image) /
+nearest (label) gather on device, inside the jitted input pipeline — 5
+resamples become 1, and the augmentation runs on the TPU between steps.
+
+Semantics per transform (same parameter ranges as the reference config):
+- intensity window: clip to the foreground 0.5/99.5 percentiles and scale to
+  [0, 1] (transforms.py:89-93);
+- rotation: per-axis angles ~ U(rotation range), applied about the volume
+  center (transforms.py:100-104);
+- zoom: isotropic-per-axis factors ~ U(min_zoom, max_zoom) about the center
+  (transforms.py:105-110);
+- translation: per-axis offsets ~ U(-t, t) voxels where t = percentage of
+  the median shape (transforms.py:111-115, 79);
+- shear / flips as configured (off in the shipped configs);
+- gaussian noise / intensity scale ("v * (1+f)") / shift ("v + o") /
+  contrast gamma (transforms.py:140-161).
+
+Each transform fires independently with its configured probability, like
+the MONAI Rand*d transforms.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def scale_intensity_range(image, a_min, a_max, b_min=0.0, b_max=1.0):
+    """Window + rescale + clip (MONAI ScaleIntensityRanged semantics)."""
+    scaled = (image - a_min) / (a_max - a_min) * (b_max - b_min) + b_min
+    return jnp.clip(scaled, b_min, b_max)
+
+
+def _rotation_matrix(angles):
+    """Rotation about the three axes, composed R2 @ R1 @ R0."""
+    cx, sx = jnp.cos(angles[0]), jnp.sin(angles[0])
+    cy, sy = jnp.cos(angles[1]), jnp.sin(angles[1])
+    cz, sz = jnp.cos(angles[2]), jnp.sin(angles[2])
+    r0 = jnp.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    r1 = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    r2 = jnp.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return r2 @ r1 @ r0
+
+
+def sample_affine(key, spatial_shape, aug):
+    """Draw one composed affine (voxel coords -> source voxel coords).
+
+    Returns (matrix [3,3], offset [3]) mapping OUTPUT voxel coordinates to
+    INPUT (source) coordinates, center-anchored.
+    """
+    keys = jax.random.split(key, 10)
+    shape = jnp.asarray(spatial_shape, jnp.float32)
+    center = (shape - 1.0) / 2.0
+
+    deg = jnp.asarray(aug.get("rotation", [0, 0]), jnp.float32) / 180 * np.pi
+    do_rot = jax.random.uniform(keys[0]) < aug.get("p_rotate", 0.0)
+    angles = jnp.where(
+        do_rot, jax.random.uniform(keys[1], (3,), minval=deg[0],
+                                   maxval=deg[1]), 0.0)
+    rot = _rotation_matrix(angles)
+
+    do_zoom = jax.random.uniform(keys[2]) < aug.get("p_zoom", 0.0)
+    zoom = jnp.where(
+        do_zoom,
+        jax.random.uniform(keys[3], (3,), minval=aug.get("min_zoom", 1.0),
+                           maxval=aug.get("max_zoom", 1.0)), 1.0)
+    # Output zoomed by z means source coords scaled by 1/z.
+    scale = jnp.diag(1.0 / zoom)
+
+    do_shear = jax.random.uniform(keys[4]) < aug.get("p_shear", 0.0)
+    sh = jnp.asarray(aug.get("shear_range", [0, 0, 0]), jnp.float32)
+    shear_vals = jnp.where(
+        do_shear,
+        jax.random.uniform(keys[5], (3,), minval=-sh, maxval=sh), 0.0)
+    shear = jnp.array([[1.0, shear_vals[0], shear_vals[1]],
+                       [0.0, 1.0, shear_vals[2]],
+                       [0.0, 0.0, 1.0]])
+
+    do_trans = jax.random.uniform(keys[6]) < aug.get("p_translate", 0.0)
+    t = shape * aug.get("translate_percentage", 0) / 100.0
+    trans = jnp.where(
+        do_trans,
+        jax.random.uniform(keys[7], (3,), minval=-t, maxval=t), 0.0)
+
+    flip_mask = (jax.random.uniform(keys[8], (3,))
+                 < aug.get("p_flip", 0.0)).astype(jnp.float32)
+    flip = jnp.diag(1.0 - 2.0 * flip_mask)
+
+    # source = M @ (out - center) + center - translation
+    matrix = rot @ shear @ scale @ flip
+    offset = center - matrix @ center - trans
+    return matrix, offset
+
+
+def affine_resample(volume, matrix, offset, order):
+    """Resample [S0, S1, S2] by source = matrix @ out + offset.
+
+    order=1: trilinear with zeros padding (image); order=0: nearest (label).
+    One fused gather — this is the single resample replacing the reference's
+    chained MONAI transforms.
+    """
+    shape = volume.shape
+    grids = jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32) for s in shape],
+                         indexing="ij")
+    out_coords = jnp.stack([g.reshape(-1) for g in grids])  # [3, N]
+    src = matrix @ out_coords + offset[:, None]  # [3, N]
+
+    def gather(idx3, valid):
+        flat = (idx3[0] * shape[1] + idx3[1]) * shape[2] + idx3[2]
+        vals = volume.reshape(-1)[flat]
+        return jnp.where(valid, vals, 0)
+
+    if order == 0:
+        idx = jnp.round(src).astype(jnp.int32)
+        valid = jnp.all((idx >= 0) & (idx < jnp.asarray(shape)[:, None]),
+                        axis=0)
+        idx = jnp.clip(idx, 0, jnp.asarray(shape)[:, None] - 1)
+        out = gather(idx, valid)
+    else:
+        floor = jnp.floor(src)
+        frac = src - floor
+        floor = floor.astype(jnp.int32)
+        out = 0.0
+        for corner in range(8):
+            bits = jnp.asarray([(corner >> a) & 1 for a in range(3)],
+                               jnp.int32)
+            idx = floor + bits[:, None]
+            w = jnp.prod(jnp.where(bits[:, None] == 1, frac, 1 - frac),
+                         axis=0)
+            valid = jnp.all((idx >= 0) & (idx < jnp.asarray(shape)[:, None]),
+                            axis=0)
+            idx = jnp.clip(idx, 0, jnp.asarray(shape)[:, None] - 1)
+            out = out + w * gather(idx, valid)
+    return out.reshape(shape).astype(volume.dtype)
+
+
+def intensity_augment(key, image, aug):
+    keys = jax.random.split(key, 8)
+
+    do_noise = jax.random.uniform(keys[0]) < aug.get("p_gaussian_noise", 0.0)
+    noise = jax.random.normal(keys[1], image.shape) * \
+        aug.get("gaussian_noise_std", 0.1) + aug.get("gaussian_noise_mean", 0)
+    image = jnp.where(do_noise, image + noise, image)
+
+    do_scale = jax.random.uniform(keys[2]) < aug.get("p_intensity_scale", 0.0)
+    f = aug.get("intensity_scale_factors", 0.1)
+    factor = 1.0 + jax.random.uniform(keys[3], minval=-f, maxval=f)
+    image = jnp.where(do_scale, image * factor, image)
+
+    do_shift = jax.random.uniform(keys[4]) < aug.get("p_intensity_shift", 0.0)
+    o = aug.get("intensity_shift_offsets", 0.1)
+    offset = jax.random.uniform(keys[5], minval=-o, maxval=o)
+    image = jnp.where(do_shift, image + offset, image)
+
+    do_gamma = jax.random.uniform(keys[6]) < aug.get("p_adjust_contrast", 0.0)
+    g = aug.get("adjust_contrast_gamma", [1.0, 1.0])
+    gamma = jax.random.uniform(keys[7], minval=g[0], maxval=g[1])
+    eps = 1e-7
+    lo, hi = image.min(), image.max()
+    normed = (image - lo) / (hi - lo + eps)
+    image = jnp.where(do_gamma, normed ** gamma * (hi - lo) + lo, image)
+
+    return image
+
+
+@partial(jax.jit, static_argnames=("aug_static",))
+def _augment_one(image, label, key, aug_static):
+    aug = dict(aug_static)
+    k_affine, k_intensity = jax.random.split(key)
+    matrix, offset = sample_affine(k_affine, image.shape[:3], aug)
+    img = affine_resample(image[..., 0], matrix, offset, order=1)[..., None]
+    lab = affine_resample(label, matrix, offset, order=0)
+    img = intensity_augment(k_intensity, img, aug)
+    return img, lab
+
+
+def augment_batch(images, labels, key, aug_config, intensity_stats=None):
+    """Augment a batch on device.
+
+    images [B, S0, S1, S2, 1] float32, labels [B, S0, S1, S2] int.
+    ``intensity_stats``: foreground percentile dict for the initial window
+    (applied before the spatial transforms, like the reference pipeline).
+    """
+    if intensity_stats is not None:
+        images = scale_intensity_range(
+            images, intensity_stats["percentile_00_5"],
+            intensity_stats["percentile_99_5"])
+    aug_static = tuple(sorted(
+        (k, tuple(v) if isinstance(v, list) else v)
+        for k, v in aug_config.items() if k != "use_augmentation"))
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(
+        lambda i, l, k: _augment_one(i, l, k, aug_static))(
+            images, labels, keys)
+
+
+def eval_transform(images, intensity_stats):
+    """Val/test path: intensity window only (transforms.py:168-205)."""
+    return scale_intensity_range(
+        images, intensity_stats["percentile_00_5"],
+        intensity_stats["percentile_99_5"])

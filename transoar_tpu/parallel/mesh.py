@@ -42,6 +42,17 @@ def mesh_from_config(config, devices=None) -> Mesh:
     return make_mesh(par.get("dp", -1), par.get("sp", 1), devices=devices)
 
 
+def auto_mesh(batch_size, devices=None) -> Mesh:
+    """Largest dp mesh that evenly divides the batch (unused devices are
+    dropped — callers wanting sp sharding should configure the mesh
+    explicitly)."""
+    import math
+
+    devices = list(devices if devices is not None else jax.devices())
+    dp = math.gcd(int(batch_size), len(devices))
+    return make_mesh(dp=dp, sp=1, devices=devices[:dp])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Volumes [B, S0, S1, S2, C]: batch over dp, leading spatial over sp."""
     return NamedSharding(mesh, P("dp", "sp"))

@@ -53,10 +53,25 @@ def make_train_step(model, criterion: Criterion, config, anchors):
     num_classes = config["neck"]["num_organs"]
     padding = config.get("bbox_padding", 1)
     anchors = jnp.asarray(anchors) if anchors is not None else None
+    aug_cfg = config.get("augmentation", {})
+    use_aug = bool(aug_cfg.get("use_augmentation"))
+    stats = config.get("foreground_voxel_statistics")
 
     def train_step(state, batch, rng):
-        targets = derive_targets(batch["seg"], num_classes, padding)
         step_rng = jax.random.fold_in(rng, state.step)
+        image, seg = batch["image"], batch["seg"]
+        if use_aug:
+            from transoar_tpu.data.transforms import augment_batch
+
+            aug_rng, step_rng = jax.random.split(step_rng)
+            image, seg = augment_batch(image, seg, aug_rng, aug_cfg,
+                                       intensity_stats=stats)
+        elif stats is not None:
+            from transoar_tpu.data.transforms import eval_transform
+
+            image = eval_transform(image, stats)
+        batch = {"image": image, "seg": seg}
+        targets = derive_targets(batch["seg"], num_classes, padding)
 
         def loss_fn(params):
             out = model.apply({"params": params}, batch["image"],
@@ -80,9 +95,16 @@ def make_eval_step(model, criterion: Criterion, config, anchors):
     padding = config.get("bbox_padding", 1)
     anchors = jnp.asarray(anchors) if anchors is not None else None
 
+    stats = config.get("foreground_voxel_statistics")
+
     def eval_step(state, batch):
+        image = batch["image"]
+        if stats is not None:
+            from transoar_tpu.data.transforms import eval_transform
+
+            image = eval_transform(image, stats)
         targets = derive_targets(batch["seg"], num_classes, padding)
-        out = model.apply({"params": state.params}, batch["image"],
+        out = model.apply({"params": state.params}, image,
                           deterministic=True)
         losses = criterion(out, targets, anchors)
         losses["total"] = total_loss(losses, coefs)
@@ -106,7 +128,8 @@ class Trainer:
         self._metric_max_val = metric_start_val
         self._main_metric_key = "mAP_coco"
 
-        self._mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self._mesh = mesh if mesh is not None else mesh_lib.auto_mesh(
+            config["trainer"]["batch_size"])
         self._rng = rng if rng is not None else jax.random.key(
             config.get("seed", 0))
 

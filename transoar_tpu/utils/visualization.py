@@ -1,0 +1,135 @@
+"""Visualization exports: .ply point clouds / bbox wireframes + attention
+maps.
+
+Counterpart of reference ``transoar/utils/visualization.py`` (which depends
+on open3d + cv2 — unavailable here): pure numpy + PIL.
+
+- ``save_pred_visualization``: exports the case's segmentation voxels as a
+  colored point cloud plus prediction (red) and ground-truth (green) bbox
+  wireframes as ASCII .ply (reference visualization.py:145-214, 310-454).
+- ``save_attn_visualization``: exports per-organ decoder cross-attention
+  maps as PNG slices (reference visualization.py:222-308).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from transoar_tpu.utils.boxes import box_cxcyczwhd_to_xyzxyz
+
+_PALETTE = np.array([
+    [230, 25, 75], [60, 180, 75], [255, 225, 25], [0, 130, 200],
+    [245, 130, 48], [145, 30, 180], [70, 240, 240], [240, 50, 230],
+    [210, 245, 60], [250, 190, 212], [0, 128, 128], [220, 190, 255],
+    [170, 110, 40], [255, 250, 200], [128, 0, 0], [170, 255, 195],
+    [128, 128, 0], [255, 215, 180], [0, 0, 128], [128, 128, 128],
+], np.uint8)
+
+
+def write_ply(path, verts, colors=None, edges=None):
+    """ASCII .ply with vertices, per-vertex colors, and optional edges."""
+    verts = np.asarray(verts, np.float32).reshape(-1, 3)
+    if colors is None:
+        colors = np.zeros_like(verts, dtype=np.uint8)
+    colors = np.asarray(colors, np.uint8).reshape(-1, 3)
+    edges = [] if edges is None else list(edges)
+
+    lines = [
+        "ply", "format ascii 1.0",
+        f"element vertex {len(verts)}",
+        "property float x", "property float y", "property float z",
+        "property uchar red", "property uchar green", "property uchar blue",
+        f"element edge {len(edges)}",
+        "property int vertex1", "property int vertex2",
+        "end_header",
+    ]
+    for v, c in zip(verts, colors):
+        lines.append(f"{v[0]:.4f} {v[1]:.4f} {v[2]:.4f} "
+                     f"{int(c[0])} {int(c[1])} {int(c[2])}")
+    for a, b in edges:
+        lines.append(f"{int(a)} {int(b)}")
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
+_BOX_EDGES = [(0, 1), (0, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 7),
+              (6, 7), (0, 4), (1, 5), (2, 6), (3, 7)]
+
+
+def bbox_wireframe(box_corner, scale):
+    """8 corner vertices of a normalized corner-format box, in voxel units."""
+    lo, hi = box_corner[:3] * scale, box_corner[3:] * scale
+    verts = np.array([[x, y, z]
+                      for x in (lo[0], hi[0])
+                      for y in (lo[1], hi[1])
+                      for z in (lo[2], hi[2])], np.float32)
+    return verts, _BOX_EDGES
+
+
+def save_pred_visualization(pred_boxes, pred_classes, pred_scores, gt_boxes,
+                            gt_classes, seg, out_dir, case_id):
+    """Write ``case_<id>_{seg,pred,gt}.ply`` for external viewers."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    shape = np.asarray(seg.shape, np.float32)
+
+    # segmentation point cloud (subsampled)
+    idx = np.stack(np.nonzero(seg), -1)
+    if len(idx):
+        sub = idx[::max(len(idx) // 50000, 1)]
+        cls = seg[tuple(sub.T)].astype(int)
+        colors = _PALETTE[(cls - 1) % len(_PALETTE)]
+        write_ply(out_dir / f"case_{case_id}_seg.ply", sub.astype(np.float32),
+                  colors)
+
+    def boxes_to_ply(boxes, classes, path, color):
+        verts_all, edges_all = [], []
+        for box in np.asarray(boxes).reshape(-1, 6):
+            corner = box_cxcyczwhd_to_xyzxyz(box)
+            verts, edges = bbox_wireframe(corner, shape)
+            base = len(verts_all) * 8 // 8 * 8 if verts_all else 0
+            base = sum(len(v) for v in verts_all)
+            verts_all.append(verts)
+            edges_all.extend([(a + base, b + base) for a, b in edges])
+        if verts_all:
+            verts = np.concatenate(verts_all)
+            colors = np.tile(np.asarray(color, np.uint8), (len(verts), 1))
+            write_ply(path, verts, colors, edges_all)
+
+    boxes_to_ply(pred_boxes, pred_classes,
+                 out_dir / f"case_{case_id}_pred.ply", [255, 0, 0])
+    boxes_to_ply(gt_boxes, gt_classes,
+                 out_dir / f"case_{case_id}_gt.ply", [0, 255, 0])
+
+
+def save_attn_visualization(attn_weights, config, out_dir, case_id):
+    """Export mean-over-heads cross-attention of each organ's best query as
+    mid-axial PNG slices.
+
+    attn_weights: [B, heads, Q, S] over the flattened input level.
+    """
+    from PIL import Image
+
+    from transoar_tpu.models.focused_decoder import level_spatial_shape
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    neck = config["neck"]
+    shape = level_spatial_shape(config["augmentation"]["patch_size"],
+                                int(neck["input_levels"][-1]))
+    num_organs = neck["num_organs"]
+    qpo = neck["num_queries"] // num_organs
+
+    attn = np.asarray(attn_weights[0], np.float32).mean(0)  # [Q, S]
+    attn = attn.reshape(num_organs, qpo, *shape)
+
+    for organ in range(num_organs):
+        vol = attn[organ].mean(0)  # mean over the organ's queries
+        mid = vol[:, :, vol.shape[2] // 2]
+        mid = mid / (mid.max() + 1e-12)
+        img = Image.fromarray((mid * 255).astype(np.uint8))
+        img = img.resize((256, 256), Image.NEAREST)
+        img.save(out_dir / f"case_{case_id}_organ_{organ + 1}.png")
