@@ -46,6 +46,12 @@ class Encoder(nn.Module):
         cfg = self.config
         num_stages = cfg["num_stages"]
         use_swin = cfg.get("use_encoder_attn", False)
+        # Rematerialize encoder stages in the backward pass: the early
+        # full-resolution stages dominate activation memory (a 256^3 volume
+        # at 24 channels is ~0.8 GB bf16 per tensor); trading their
+        # recompute FLOPs for HBM is the standard TPU move.
+        remat = cfg.get("remat", True)
+        cnn_block = nn.remat(EncoderCnnBlock) if remat else EncoderCnnBlock
 
         outputs = {}
         features = cfg["start_channels"]
@@ -70,7 +76,7 @@ class Encoder(nn.Module):
                     name=f"stage{stage}",
                 )(x, deterministic=deterministic)
             else:
-                x = EncoderCnnBlock(
+                x = cnn_block(
                     features=features, kernel_size=cfg.get("kernel_size", 3),
                     strides=stride, dtype=self.dtype,
                     name=f"stage{stage}")(x)

@@ -192,10 +192,16 @@ class FocusedDecoder(nn.Module):
 
         bias = jnp.asarray(self.attn_bias)
 
+        # Remat decoder layers: each layer's f32 attention logits over the
+        # full token axis (e.g. 405 x 16384) would otherwise be saved for
+        # the backward pass.
+        layer_cls = (nn.remat(FocusedDecoderLayer, static_argnums=(6, 7))
+                     if cfg.get("remat", True) else FocusedDecoderLayer)
+
         intermediate = []
         weights = None
         for i in range(cfg["dec_layers"]):
-            tgt, w = FocusedDecoderLayer(
+            tgt, w = layer_cls(
                 num_heads=cfg["nheads"],
                 num_organs=cfg["num_organs"],
                 dim_feedforward=cfg["dim_feedforward"],
@@ -203,10 +209,8 @@ class FocusedDecoder(nn.Module):
                 share_qk_proj=cfg.get("share_qk_proj", True),
                 dtype=self.dtype,
                 name=f"layer{i}")(
-                    tgt, query_pos, src, pos, bias,
-                    deterministic=deterministic,
-                    return_weights=return_weights and
-                    i == cfg["dec_layers"] - 1)
+                    tgt, query_pos, src, pos, bias, deterministic,
+                    return_weights and i == cfg["dec_layers"] - 1)
             if w is not None:
                 weights = w
             intermediate.append(tgt)

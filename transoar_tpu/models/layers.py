@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Callable, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # Xavier/Glorot uniform — the reference decoder's explicit init
@@ -27,20 +28,37 @@ xavier_uniform = nn.initializers.xavier_uniform()
 
 
 class InstanceNorm(nn.Module):
-    """InstanceNorm over spatial dims, channels-last ([..., *spatial, C]).
+    """InstanceNorm over spatial dims, channels-last ([B, *spatial, C]).
 
     Equivalent to torch ``nn.InstanceNorm3d(affine=True, eps=1e-5)``
     (encoder_blocks.py:34): per-sample, per-channel normalization over the
-    spatial axes. Implemented as GroupNorm with group_size=1.
+    spatial axes.
+
+    Implemented by hand instead of flax GroupNorm: statistics are f32
+    reductions (convert fused into the reduce), but the normalization
+    arithmetic stays in the compute dtype — flax's norm layers materialize
+    an f32 copy of the activation, which at 256^3-scale volumes costs
+    gigabytes of HBM per layer.
     """
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        return nn.GroupNorm(
-            num_groups=None, group_size=1, epsilon=self.epsilon,
-            dtype=self.dtype, use_bias=True, use_scale=True)(x)
+        C = x.shape[-1]
+        axes = tuple(range(1, x.ndim - 1))
+        mean = jnp.mean(x.astype(jnp.float32), axis=axes, keepdims=True)
+        mean2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axes,
+                         keepdims=True)
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        # fold (mean, inv, affine) into one multiply-add in compute dtype
+        mul = (inv * scale).astype(self.dtype)
+        add = (bias - mean * inv * scale).astype(self.dtype)
+        return x.astype(self.dtype) * mul + add
 
 
 class ConvInReLU(nn.Module):
