@@ -163,6 +163,16 @@ class Criterion:
         return losses
 
 
+def build_criterion(config):
+    """Criterion dispatch: focused branch uses anchor matching + BCE
+    (reference build.py:31-46); DETR branches use Hungarian set criterion."""
+    if config["neck"].get("name", "foc_attn") == "foc_attn":
+        return Criterion(config)
+    from transoar_tpu.models.detr import SetCriterion
+
+    return SetCriterion(config)
+
+
 def total_loss(losses, loss_coefs):
     """Weighted sum, coefficient looked up by key prefix
     (reference trainer.py:72-74)."""

@@ -111,7 +111,7 @@ class MLP(nn.Module):
             x = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype,
                                  param_dtype=jnp.float32)(x))
         kernel_init = (nn.initializers.zeros if self.zero_init_last
-                       else nn.linen.linear.default_kernel_init)
+                       else nn.initializers.lecun_normal())
         return nn.Dense(self.output_dim, dtype=self.dtype,
                         param_dtype=jnp.float32, kernel_init=kernel_init)(x)
 

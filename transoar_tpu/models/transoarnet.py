@@ -58,9 +58,7 @@ class TransoarNet(nn.Module):
         backbone_out = AttnFPN(cfg["backbone"], dtype=self.dtype,
                                name="backbone")(x, deterministic=deterministic)
 
-        det_src = backbone_out[neck_cfg["input_levels"]]
-        pos = build_pos_enc(neck_cfg["pos_encoding"], hidden_dim,
-                            dtype=self.dtype)(det_src)
+        neck_name = neck_cfg.get("name", "foc_attn")
 
         # Packed (query_pos | tgt) embedding (reference transoarnet.py:45);
         # N(0, 1) init like torch nn.Embedding.
@@ -68,29 +66,66 @@ class TransoarNet(nn.Module):
             "query_embed", nn.initializers.normal(1.0),
             (neck_cfg["num_queries"], hidden_dim * 2), jnp.float32)
 
-        hs, weights = FocusedDecoder(
-            neck_cfg, attn_bias=self.attn_bias, dtype=self.dtype,
-            name="neck")(det_src, query_embed, pos,
-                         deterministic=deterministic,
-                         return_weights=return_weights)
+        weights = None
+        ref_points = None
+        if neck_name == "def_detr":
+            from transoar_tpu.models.detr import DeformableDETRDecoder
+
+            levels = neck_cfg.get("feature_levels") or \
+                cfg["backbone"]["out_fmaps"]
+            fmaps = [backbone_out[l] for l in levels]
+            hs, ref_points = DeformableDETRDecoder(
+                neck_cfg, dtype=self.dtype, name="neck")(
+                    fmaps, query_embed, deterministic=deterministic)
+        else:
+            det_src = backbone_out[neck_cfg["input_levels"]]
+            pos = build_pos_enc(neck_cfg["pos_encoding"], hidden_dim,
+                                dtype=self.dtype)(det_src)
+            if neck_name == "detr":
+                from transoar_tpu.models.detr import DETRDecoder
+
+                hs, weights = DETRDecoder(
+                    neck_cfg, dtype=self.dtype, name="neck")(
+                        det_src, query_embed, pos,
+                        deterministic=deterministic,
+                        return_weights=return_weights)
+            else:
+                hs, weights = FocusedDecoder(
+                    neck_cfg, attn_bias=self.attn_bias, dtype=self.dtype,
+                    name="neck")(det_src, query_embed, pos,
+                                 deterministic=deterministic,
+                                 return_weights=return_weights)
         # hs: [L, B, Q, C]
 
-        zero_init = bool(anchor_offset)  # reference transoarnet.py:50-58
+        # Heads: the focused branch scores one binary logit per query
+        # (class identity is positional, transoarnet.py:35); the DETR
+        # branches classify into num_organs + 1 softmax classes.
+        num_logits = 1 if neck_name == "foc_attn" else \
+            neck_cfg["num_organs"] + 1
+        zero_init = bool(anchor_offset) and neck_name == "foc_attn"
         logits = nn.Dense(
-            1, dtype=self.dtype, param_dtype=jnp.float32,
+            num_logits, dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=(nn.initializers.zeros if zero_init
-                         else nn.linen.linear.default_kernel_init),
+                         else nn.initializers.lecun_normal()),
             bias_init=nn.initializers.zeros,
             name="cls_head")(hs).astype(jnp.float32)
         raw_boxes = MLP(hidden_dim, 6, 3, dtype=self.dtype,
                         zero_init_last=zero_init,
                         name="reg_head")(hs).astype(jnp.float32)
 
-        if anchor_offset:
+        if neck_name == "foc_attn" and anchor_offset:
             anchors = jnp.asarray(self.anchors)
             restrictions = jnp.asarray(self.restrictions)
             boxes = jnp.clip(jnp.tanh(raw_boxes) * restrictions + anchors,
                              0.0, 1.0)
+        elif neck_name == "def_detr":
+            # centers decoded relative to the learned reference points
+            ref_logit = jnp.log(jnp.clip(ref_points, 1e-6) /
+                                jnp.clip(1 - ref_points, 1e-6))
+            centers = nn.sigmoid(raw_boxes[..., :3] +
+                                 ref_logit[None].astype(jnp.float32))
+            sizes = nn.sigmoid(raw_boxes[..., 3:])
+            boxes = jnp.concatenate([centers, sizes], axis=-1)
         else:
             boxes = nn.sigmoid(raw_boxes)
 
@@ -131,15 +166,17 @@ def build_transoarnet(config, dtype: Optional[jnp.dtype] = None):
     neck_cfg = config["neck"]
     bbox_props = config["bbox_properties"]
 
-    anchors = restrictions = None
-    if neck_cfg["anchor_offset_pred"]:
-        anchors, restrictions = generate_anchors(neck_cfg, bbox_props)
-
-    patch_size = config["augmentation"]["patch_size"]
-    level = int(neck_cfg["input_levels"][-1])
-    input_shape = level_spatial_shape(patch_size, level)
-    attn_bias = generate_attn_bias(
-        bbox_props, input_shape, restrict=neck_cfg.get("restrict_attn", True))
+    neck_name = neck_cfg.get("name", "foc_attn")
+    anchors = restrictions = attn_bias = None
+    if neck_name == "foc_attn":
+        if neck_cfg["anchor_offset_pred"]:
+            anchors, restrictions = generate_anchors(neck_cfg, bbox_props)
+        patch_size = config["augmentation"]["patch_size"]
+        level = int(neck_cfg["input_levels"][-1])
+        input_shape = level_spatial_shape(patch_size, level)
+        attn_bias = generate_attn_bias(
+            bbox_props, input_shape,
+            restrict=neck_cfg.get("restrict_attn", True))
 
     return TransoarNet(
         config=config, anchors=anchors, restrictions=restrictions,

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from transoar_tpu.eval.evaluator import build_evaluator
-from transoar_tpu.models.criterion import Criterion, total_loss
+from transoar_tpu.models.criterion import (Criterion, build_criterion,
+                                           total_loss)
 from transoar_tpu.parallel import mesh as mesh_lib
 from transoar_tpu.training import checkpoints as ckpt_lib
 from transoar_tpu.training.inference import inference
@@ -133,7 +134,7 @@ class Trainer:
         self._rng = rng if rng is not None else jax.random.key(
             config.get("seed", 0))
 
-        self._criterion = Criterion(config)
+        self._criterion = build_criterion(config)
         self._evaluator = build_evaluator(config)
         self._writer = log_writer
         if log_writer is None:
