@@ -22,7 +22,7 @@ import numpy as np
 
 from transoar_tpu.data.dataset import get_loader
 from transoar_tpu.eval.evaluator import build_evaluator
-from transoar_tpu.models.transoarnet import build_transoarnet
+from transoar_tpu.models.transoarnet import build_model
 from transoar_tpu.training import checkpoints as ckpt_lib
 from transoar_tpu.training.inference import inference
 from transoar_tpu.training.train_state import create_train_state
@@ -40,7 +40,7 @@ class Tester:
         self._config = ckpt_lib.load_run_config(path_to_run)
         self._split = "val" if args.val else "test"
 
-        self._model = build_transoarnet(self._config)
+        self._model = build_model(self._config)
         self._loader = get_loader(self._config, self._split, batch_size=1,
                                   data_dir=args.data_dir)
 
@@ -57,10 +57,16 @@ class Tester:
         self._evaluator = build_evaluator(self._config, per_class=True)
         self._num_organs = self._config["neck"]["num_organs"]
 
-        self._forward = jax.jit(
-            lambda params, image: self._model.apply(
-                {"params": params}, image, deterministic=True,
-                return_weights=args.save_attn_map))
+        self._is_retina = "retina" in self._config
+        if self._is_retina:
+            self._forward = jax.jit(
+                lambda params, image: self._model.apply(
+                    {"params": params}, image, deterministic=True))
+        else:
+            self._forward = jax.jit(
+                lambda params, image: self._model.apply(
+                    {"params": params}, image, deterministic=True,
+                    return_weights=args.save_attn_map))
 
     def run(self):
         num_classes = self._num_organs
@@ -80,8 +86,17 @@ class Tester:
 
             out = self._forward(self._state.params,
                                 jnp.asarray(batch["image"]))
-            boxes, classes, scores = inference(jax.device_get(out),
-                                               num_classes)
+            if self._is_retina:
+                from transoar_tpu.models.retina import retina_inference
+
+                rcfg = self._config["retina"]
+                boxes, classes, scores = retina_inference(
+                    jax.device_get(out), self._model.anchors, num_classes,
+                    iou_threshold=rcfg.get("nms_iou", 0.5),
+                    score_threshold=rcfg.get("score_threshold", 0.05))
+            else:
+                boxes, classes, scores = inference(jax.device_get(out),
+                                                   num_classes)
 
             tgt_boxes = np.asarray(targets["boxes"])[0]
             self._evaluator.add(

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from transoar_tpu.data.dataset import get_loader
-from transoar_tpu.models.transoarnet import build_transoarnet, count_params
+from transoar_tpu.models.transoarnet import build_model, count_params
 from transoar_tpu.parallel.mesh import mesh_from_config
 from transoar_tpu.training import checkpoints as ckpt_lib
 from transoar_tpu.training.train_state import create_train_state
@@ -39,7 +39,7 @@ def train(config, args):
     val_split = "train" if config.get("overfit") else "val"
     val_loader = get_loader(config, val_split, data_dir=data_dir)
 
-    model = build_transoarnet(config)
+    model = build_model(config)
     par = config.get("parallel", {}) or {}
     if par.get("dp", -1) == -1 and par.get("sp", 1) == 1:
         # default: largest data-parallel mesh that divides the batch

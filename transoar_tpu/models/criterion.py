@@ -165,7 +165,12 @@ class Criterion:
 
 def build_criterion(config):
     """Criterion dispatch: focused branch uses anchor matching + BCE
-    (reference build.py:31-46); DETR branches use Hungarian set criterion."""
+    (reference build.py:31-46); DETR branches use the Hungarian set
+    criterion; a ``retina`` section selects focal-loss dense detection."""
+    if "retina" in config:
+        from transoar_tpu.models.retina import RetinaCriterion
+
+        return RetinaCriterion(config)
     if config["neck"].get("name", "foc_attn") == "foc_attn":
         return Criterion(config)
     from transoar_tpu.models.detr import SetCriterion

@@ -183,6 +183,17 @@ def build_transoarnet(config, dtype: Optional[jnp.dtype] = None):
         attn_bias=attn_bias, dtype=dtype)
 
 
+def build_model(config, dtype: Optional[jnp.dtype] = None):
+    """Top-level model dispatch: a ``retina`` config section selects the
+    RetinaNet/Retina-U-Net branch, otherwise TransoarNet with the configured
+    neck (foc_attn / detr / def_detr)."""
+    if "retina" in config:
+        from transoar_tpu.models.retina import build_retinanet
+
+        return build_retinanet(config, dtype=dtype)
+    return build_transoarnet(config, dtype=dtype)
+
+
 def count_params(params) -> int:
     import jax
 

@@ -109,8 +109,9 @@ def make_eval_step(model, criterion: Criterion, config, anchors):
                           deterministic=True)
         losses = criterion(out, targets, anchors)
         losses["total"] = total_loss(losses, coefs)
-        preds = {"pred_logits": out["pred_logits"],
-                 "pred_boxes": out["pred_boxes"]}
+        pred_keys = ("pred_logits", "pred_boxes", "anchor_logits",
+                     "anchor_deltas")
+        preds = {k: out[k] for k in pred_keys if k in out}
         return losses, preds, targets
 
     return eval_step
@@ -189,8 +190,14 @@ class Trainer:
                 agg[key] = agg.get(key, 0.0) + float(val)
             count += 1
 
-            boxes, classes, scores = inference(
-                jax.device_get(preds), num_organs)
+            preds = jax.device_get(preds)
+            if "anchor_logits" in preds:
+                from transoar_tpu.models.retina import retina_inference
+
+                boxes, classes, scores = retina_inference(
+                    preds, self._model.anchors, num_organs)
+            else:
+                boxes, classes, scores = inference(preds, num_organs)
             tgt_boxes = np.asarray(targets["boxes"])
             tgt_present = np.asarray(targets["present"])
             gt_boxes = [tb[tp] for tb, tp in zip(tgt_boxes, tgt_present)]
