@@ -99,10 +99,25 @@ class Loader:
 
 
 def get_loader(config, split, batch_size=None, data_dir=None, seed=None):
-    """Reference-compatible entry point (dataloader.py:10-24)."""
+    """Reference-compatible entry point (dataloader.py:10-24).
+
+    Uses the native C++ threaded loader (``transoar_tpu.native``) when
+    ``trainer.num_workers > 0`` and the toolchain is available — the
+    replacement for the reference's DataLoader worker subprocesses; falls
+    back to the in-process Python loader otherwise.
+    """
     tcfg = config["trainer"]
     batch_size = batch_size or tcfg["batch_size"]
     shuffle = split == "train" and tcfg.get("shuffle", True)
     dataset = TransoarDataset(config, split, data_dir=data_dir)
-    return Loader(dataset, batch_size, shuffle=shuffle,
-                  seed=config.get("seed", 0) if seed is None else seed)
+    seed = config.get("seed", 0) if seed is None else seed
+
+    num_workers = int(tcfg.get("num_workers", 0))
+    if num_workers > 0:
+        from transoar_tpu.native.native_loader import (NativeLoader,
+                                                       native_available)
+
+        if native_available():
+            return NativeLoader(dataset, batch_size, shuffle=shuffle,
+                                seed=seed, n_threads=num_workers)
+    return Loader(dataset, batch_size, shuffle=shuffle, seed=seed)
