@@ -64,6 +64,10 @@ def build_benchmark(batch_size, patch):
 
 
 def main():
+    from transoar_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch_size", type=int, default=2)
     parser.add_argument("--patch", type=int, nargs=3, default=[256, 256, 128])

@@ -129,6 +129,10 @@ class Tester:
 
 
 def main():
+    from transoar_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--run", type=str, required=True,
                         help="Experiment name under ./runs.")

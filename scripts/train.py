@@ -74,6 +74,10 @@ def train(config, args):
 
 
 def main():
+    from transoar_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True,
                         help="Config name in ./config (without .yaml).")
