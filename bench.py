@@ -69,7 +69,7 @@ def main():
     enable_compilation_cache()
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch_size", type=int, default=2)
+    parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--patch", type=int, nargs=3, default=[256, 256, 128])
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=3)

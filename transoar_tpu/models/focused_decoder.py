@@ -45,6 +45,32 @@ def level_spatial_shape(patch_size, level):
     return tuple(int(s) // (2 ** level) for s in patch_size)
 
 
+def roi_token_indices(attn_bias, pad_multiple=128):
+    """Static per-organ token gather indices from the attention bias.
+
+    The focused cross-attention only ever reads tokens inside each organ's
+    attn_area; instead of masking a dense [Q, S] attention, gather each
+    organ's tokens once and run dense attention over the (much smaller)
+    crop. For AMOS-sized problems this cuts the dominant attention FLOPs by
+    ~10x (typical area density is a few percent of the volume).
+
+    Returns (idx [organs, T] int32, valid [organs, T] bool) with T = max
+    organ token count rounded up to ``pad_multiple`` (lane alignment);
+    padding slots point at token 0 and are masked.
+    """
+    organs = attn_bias.shape[0]
+    token_lists = [np.nonzero(attn_bias[o] == 0)[0] for o in range(organs)]
+    t_max = max((len(t) for t in token_lists), default=1)
+    t_max = max(int(-(-t_max // pad_multiple)) * pad_multiple, pad_multiple)
+
+    idx = np.zeros((organs, t_max), np.int32)
+    valid = np.zeros((organs, t_max), bool)
+    for o, tokens in enumerate(token_lists):
+        idx[o, :len(tokens)] = tokens
+        valid[o, :len(tokens)] = True
+    return idx, valid
+
+
 def generate_attn_bias(bbox_props, input_shape, restrict=True):
     """Per-organ additive attention bias over the flattened token axis.
 
@@ -74,7 +100,15 @@ def generate_attn_bias(bbox_props, input_shape, restrict=True):
 
 class FocusedAttn(nn.Module):
     """Multi-head cross-attention with a static per-organ additive bias
-    (reference FocusedAttn, focused_decoder.py:192-262)."""
+    (reference FocusedAttn, focused_decoder.py:192-262).
+
+    Two numerically equivalent execution paths:
+    - dense: [B, H, Q, S] logits + additive bias (the reference's design);
+    - RoI gather (default when ``roi`` is provided): gather each organ's
+      attn-area tokens once ([organs, T] static indices) and run dense
+      attention over the crop — same softmax result because masked tokens
+      contribute -inf either way, at a fraction of the FLOPs/HBM.
+    """
     num_heads: int
     num_organs: int
     proj_drop: float = 0.1
@@ -82,9 +116,10 @@ class FocusedAttn(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, q, k, v, bias, deterministic=True,
+    def __call__(self, q, k, v, bias, roi=None, deterministic=True,
                  return_weights=False):
-        """q: [B, Q, C]; k, v: [B, S, C]; bias: [organs, S]."""
+        """q: [B, Q, C]; k, v: [B, S, C]; bias: [organs, S];
+        roi: optional (idx [organs, T] int32, valid [organs, T] bool)."""
         d_model = q.shape[-1]
         head_dim = d_model // self.num_heads
         scale = head_dim ** -0.5
@@ -105,23 +140,58 @@ class FocusedAttn(nn.Module):
         qh = qh * scale
 
         B, Q = q.shape[0], q.shape[1]
-        qpo = Q // self.num_organs
+        O = self.num_organs
+        qpo = Q // O
         S = k.shape[1]
 
-        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh)
-        logits = logits.reshape(B, self.num_heads, self.num_organs, qpo, S)
-        logits = logits.astype(jnp.float32) + bias[None, None, :, None, :]
-        attn = nn.softmax(logits, axis=-1).astype(self.dtype)
-        attn = attn.reshape(B, self.num_heads, Q, S)
+        if roi is not None:
+            idx, valid = roi
+            idx = jnp.asarray(idx)
+            valid = jnp.asarray(valid)
+            T = idx.shape[1]
 
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
-        out = out.reshape(B, Q, d_model)
+            flat = idx.reshape(-1)  # [O*T]
+            k_r = jnp.take(kh, flat, axis=1).reshape(
+                B, O, T, self.num_heads, head_dim)
+            v_r = jnp.take(vh, flat, axis=1).reshape(
+                B, O, T, self.num_heads, head_dim)
+            q_r = qh.reshape(B, O, qpo, self.num_heads, head_dim)
+
+            logits = jnp.einsum("boqhd,bothd->bhoqt", q_r, k_r)
+            pad_bias = jnp.where(valid, 0.0, MASKED_BIAS)  # [O, T]
+            logits = logits.astype(jnp.float32) + \
+                pad_bias[None, None, :, None, :]
+            attn = nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhoqt,bothd->boqhd", attn, v_r)
+            out = out.reshape(B, Q, d_model)
+
+            full_weights = None
+            if return_weights:
+                # scatter crop weights back onto the full token axis
+                full_weights = jnp.zeros((B, self.num_heads, O, qpo, S),
+                                         jnp.float32)
+                o_idx = jnp.arange(O)[:, None, None]
+                q_idx = jnp.arange(qpo)[None, :, None]
+                t_idx = idx[:, None, :]  # [O, 1, T]
+                full_weights = full_weights.at[
+                    :, :, o_idx, q_idx, t_idx].set(
+                        attn.astype(jnp.float32).transpose(0, 1, 2, 3, 4))
+                full_weights = full_weights.reshape(
+                    B, self.num_heads, Q, S)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh)
+            logits = logits.reshape(B, self.num_heads, O, qpo, S)
+            logits = logits.astype(jnp.float32) + bias[None, None, :, None, :]
+            attn = nn.softmax(logits, axis=-1).astype(self.dtype)
+            attn = attn.reshape(B, self.num_heads, Q, S)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
+            out = out.reshape(B, Q, d_model)
+            full_weights = attn if return_weights else None
+
         out = nn.Dense(d_model, dtype=self.dtype, param_dtype=jnp.float32,
                        kernel_init=xavier_uniform, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
-        if return_weights:
-            return out, attn
-        return out, None
+        return out, full_weights
 
 
 class FocusedDecoderLayer(nn.Module):
@@ -135,7 +205,7 @@ class FocusedDecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, tgt, query_pos, src, src_pos, bias,
+    def __call__(self, tgt, query_pos, src, src_pos, bias, roi=None,
                  deterministic=True, return_weights=False):
         # Query self-attention (pos added to q and k, not v).
         q = tgt + query_pos
@@ -150,7 +220,7 @@ class FocusedDecoderLayer(nn.Module):
             self.num_heads, self.num_organs, proj_drop=0.1,
             share_qk_proj=self.share_qk_proj, dtype=self.dtype,
             name="cross_attn")(
-                tgt + query_pos, src + src_pos, src, bias,
+                tgt + query_pos, src + src_pos, src, bias, roi=roi,
                 deterministic=deterministic, return_weights=return_weights)
         tgt = tgt + nn.Dropout(self.dropout)(ca, deterministic=deterministic)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm_ca")(tgt)
@@ -167,6 +237,7 @@ class FocusedDecoder(nn.Module):
     focused_decoder.py:12-80)."""
     config: Dict[str, Any]
     attn_bias: Any  # np.ndarray [organs, S], static
+    roi: Any = None  # optional (idx [organs, T], valid [organs, T])
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -195,7 +266,11 @@ class FocusedDecoder(nn.Module):
         # Remat decoder layers: each layer's f32 attention logits over the
         # full token axis (e.g. 405 x 16384) would otherwise be saved for
         # the backward pass.
-        layer_cls = (nn.remat(FocusedDecoderLayer, static_argnums=(6, 7))
+        roi = None
+        if self.roi is not None and cfg.get("roi_attention", True):
+            roi = (jnp.asarray(self.roi[0]), jnp.asarray(self.roi[1]))
+
+        layer_cls = (nn.remat(FocusedDecoderLayer, static_argnums=(7, 8))
                      if cfg.get("remat", True) else FocusedDecoderLayer)
 
         intermediate = []
@@ -209,7 +284,7 @@ class FocusedDecoder(nn.Module):
                 share_qk_proj=cfg.get("share_qk_proj", True),
                 dtype=self.dtype,
                 name=f"layer{i}")(
-                    tgt, query_pos, src, pos, bias, deterministic,
+                    tgt, query_pos, src, pos, bias, roi, deterministic,
                     return_weights and i == cfg["dec_layers"] - 1)
             if w is not None:
                 weights = w

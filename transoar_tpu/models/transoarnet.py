@@ -39,6 +39,7 @@ class TransoarNet(nn.Module):
     anchors: Any            # np [Q, 6] cxcyczwhd, or None when not anchor-based
     restrictions: Any       # np [Q, 6], or None
     attn_bias: Any          # np [organs, S] for the focused neck
+    roi: Any = None         # (idx, valid) [organs, T] for RoI attention
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -91,7 +92,8 @@ class TransoarNet(nn.Module):
                         return_weights=return_weights)
             else:
                 hs, weights = FocusedDecoder(
-                    neck_cfg, attn_bias=self.attn_bias, dtype=self.dtype,
+                    neck_cfg, attn_bias=self.attn_bias, roi=self.roi,
+                    dtype=self.dtype,
                     name="neck")(det_src, query_embed, pos,
                                  deterministic=deterministic,
                                  return_weights=return_weights)
@@ -167,7 +169,7 @@ def build_transoarnet(config, dtype: Optional[jnp.dtype] = None):
     bbox_props = config["bbox_properties"]
 
     neck_name = neck_cfg.get("name", "foc_attn")
-    anchors = restrictions = attn_bias = None
+    anchors = restrictions = attn_bias = roi = None
     if neck_name == "foc_attn":
         if neck_cfg["anchor_offset_pred"]:
             anchors, restrictions = generate_anchors(neck_cfg, bbox_props)
@@ -177,10 +179,15 @@ def build_transoarnet(config, dtype: Optional[jnp.dtype] = None):
         attn_bias = generate_attn_bias(
             bbox_props, input_shape,
             restrict=neck_cfg.get("restrict_attn", True))
+        if neck_cfg.get("restrict_attn", True) and \
+                neck_cfg.get("roi_attention", True):
+            from transoar_tpu.models.focused_decoder import roi_token_indices
+
+            roi = roi_token_indices(attn_bias)
 
     return TransoarNet(
         config=config, anchors=anchors, restrictions=restrictions,
-        attn_bias=attn_bias, dtype=dtype)
+        attn_bias=attn_bias, roi=roi, dtype=dtype)
 
 
 def build_model(config, dtype: Optional[jnp.dtype] = None):
