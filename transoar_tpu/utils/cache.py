@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 
-_DEFAULT_DIR = os.path.expanduser("~/.cache/transoar_tpu_xla")
+_DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".xla_cache")
 
 
 def enable_compilation_cache(cache_dir=None, min_compile_secs=5.0):
