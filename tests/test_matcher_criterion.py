@@ -136,9 +136,9 @@ def test_criterion_end_to_end_matches_hand_computation():
                 box_cxcyczwhd_to_xyzxyz(np.clip(pred, 0, None)[None]),
                 box_cxcyczwhd_to_xyzxyz(tgt_boxes[b, o][None]))[0, 0]
     np.testing.assert_allclose(float(losses["bbox"]), l1_sum / num_boxes,
-                               rtol=1e-5)
+                               rtol=1e-4)
     np.testing.assert_allclose(float(losses["giou"]), giou_sum / num_boxes,
-                               rtol=1e-5)
+                               rtol=1e-4)
 
     # cls: masked-mean BCE on soft labels
     valid = rs != -1

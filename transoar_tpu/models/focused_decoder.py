@@ -270,8 +270,12 @@ class FocusedDecoder(nn.Module):
         if self.roi is not None and cfg.get("roi_attention", True):
             roi = (jnp.asarray(self.roi[0]), jnp.asarray(self.roi[1]))
 
+        # With RoI attention the per-layer activations are small (crop-sized
+        # logits), so decoder remat defaults off; the dense path keeps it.
+        default_remat = roi is None
         layer_cls = (nn.remat(FocusedDecoderLayer, static_argnums=(7, 8))
-                     if cfg.get("remat", True) else FocusedDecoderLayer)
+                     if cfg.get("remat", default_remat)
+                     else FocusedDecoderLayer)
 
         intermediate = []
         weights = None

@@ -163,18 +163,36 @@ class Trainer:
         return mesh_lib.shard_batch(
             {"image": batch["image"], "seg": batch["seg"]}, self._mesh)
 
+    def _prefetch(self, loader, depth=2):
+        """Async H2D overlap: device_put is non-blocking, so keeping
+        ``depth`` batches in flight hides host->device transfer behind the
+        previous step's compute."""
+        import collections
+
+        buf = collections.deque()
+        for batch in loader:
+            buf.append(self._device_batch(batch))
+            if len(buf) >= depth:
+                yield buf.popleft()
+        while buf:
+            yield buf.popleft()
+
     # -- loops -------------------------------------------------------------
     def _train_one_epoch(self, epoch):
-        agg = {}
-        count = 0
-        for batch in self._train_loader:
+        # Loss scalars stay on device during the epoch — fetching per step
+        # would sync the pipeline; one device_get at the end drains it.
+        step_losses = []
+        for device_batch in self._prefetch(self._train_loader):
             self.state, losses = self._train_step(
-                self.state, self._device_batch(batch), self._rng)
-            losses = jax.device_get(losses)
+                self.state, device_batch, self._rng)
+            step_losses.append(losses)
+
+        agg = {}
+        for losses in jax.device_get(step_losses):
             for key, val in losses.items():
                 agg[key] = agg.get(key, 0.0) + float(val)
-            count += 1
-        means = {k: v / max(count, 1) for k, v in agg.items()}
+        count = max(len(step_losses), 1)
+        means = {k: v / count for k, v in agg.items()}
         self._log(epoch, "train", means)
         return means
 
@@ -182,9 +200,9 @@ class Trainer:
         agg = {}
         count = 0
         num_organs = self._config["neck"]["num_organs"]
-        for batch in self._val_loader:
+        for device_batch in self._prefetch(self._val_loader):
             losses, preds, targets = self._eval_step(
-                self.state, self._device_batch(batch))
+                self.state, device_batch)
             losses = jax.device_get(losses)
             for key, val in losses.items():
                 agg[key] = agg.get(key, 0.0) + float(val)
