@@ -55,8 +55,12 @@ def make_train_step(model, criterion: Criterion, config, anchors):
     padding = config.get("bbox_padding", 1)
     anchors = jnp.asarray(anchors) if anchors is not None else None
     aug_cfg = config.get("augmentation", {})
-    use_aug = bool(aug_cfg.get("use_augmentation"))
+    on_device = bool(aug_cfg.get("on_device", True))
+    use_aug = bool(aug_cfg.get("use_augmentation")) and on_device
     stats = config.get("foreground_voxel_statistics")
+    if aug_cfg.get("use_augmentation") and not on_device:
+        # host augmentation already windowed + augmented the batch
+        stats = None
 
     def train_step(state, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -123,6 +127,16 @@ class Trainer:
                  rng=None, log_writer=None):
         self._config = config
         self._model = model
+        aug_cfg = config.get("augmentation", {})
+        if aug_cfg.get("use_augmentation") and \
+                not aug_cfg.get("on_device", True):
+            from transoar_tpu.data.transforms import HostAugmentingLoader
+
+            train_loader = HostAugmentingLoader(
+                train_loader, aug_cfg,
+                intensity_stats=config.get("foreground_voxel_statistics"),
+                seed=config.get("seed", 0),
+                workers=config["trainer"].get("num_workers", 8) or 8)
         self._train_loader = train_loader
         self._val_loader = val_loader
         self._path_to_run = Path(path_to_run)
