@@ -55,7 +55,7 @@ def make_train_step(model, criterion: Criterion, config, anchors):
     padding = config.get("bbox_padding", 1)
     anchors = jnp.asarray(anchors) if anchors is not None else None
     aug_cfg = config.get("augmentation", {})
-    on_device = bool(aug_cfg.get("on_device", True))
+    on_device = bool(aug_cfg.get("on_device", False))
     use_aug = bool(aug_cfg.get("use_augmentation")) and on_device
     stats = config.get("foreground_voxel_statistics")
     if aug_cfg.get("use_augmentation") and not on_device:
@@ -129,7 +129,7 @@ class Trainer:
         self._model = model
         aug_cfg = config.get("augmentation", {})
         if aug_cfg.get("use_augmentation") and \
-                not aug_cfg.get("on_device", True):
+                not aug_cfg.get("on_device", False):
             from transoar_tpu.data.transforms import HostAugmentingLoader
 
             train_loader = HostAugmentingLoader(
