@@ -1,0 +1,74 @@
+"""Fast conv3d primitives must match lax.conv_general_dilated exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transoar_tpu.ops.conv3d import (FastConv3D, FastConvTranspose3D, conv3d,
+                                     conv_transpose3d_matmul)
+
+
+def _ref_conv3d(x, w, strides):
+    return jax.lax.conv_general_dilated(
+        x, w, strides, "SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+@pytest.mark.parametrize("shape,kernel,strides", [
+    ((1, 8, 8, 6, 3), (3, 3, 3), (1, 1, 1)),
+    ((2, 9, 7, 5, 4), (3, 3, 3), (2, 2, 2)),
+    ((1, 8, 8, 8, 2), (3, 3, 3), (1, 2, 1)),
+    ((1, 6, 6, 6, 3), (1, 1, 1), (1, 1, 1)),
+])
+def test_conv3d_matches_lax(rng, shape, kernel, strides):
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    w = jnp.asarray(rng.normal(
+        size=(*kernel, shape[-1], 5)).astype(np.float32))
+    ours = conv3d(x, w, strides)
+    ref = _ref_conv3d(x, w, strides)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-4)
+
+
+def test_conv3d_gradients_match(rng):
+    x = jnp.asarray(rng.normal(size=(1, 6, 6, 4, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 4)).astype(np.float32))
+
+    g_ours = jax.grad(lambda x, w: (conv3d(x, w, (2, 2, 2)) ** 2).sum(),
+                      argnums=(0, 1))(x, w)
+    g_ref = jax.grad(lambda x, w: (_ref_conv3d(x, w, (2, 2, 2)) ** 2).sum(),
+                     argnums=(0, 1))(x, w)
+    for a, b in zip(g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_conv_transpose_matches_definition(rng):
+    """torch ConvTranspose3d semantics (kernel == stride): each input voxel
+    projects to its own stride^3 output block, out[d*s+kd, ...] += x . w[kd]
+    (kernel-flip conventions differ between libraries, but for a learned
+    kernel that is a pure reparameterization)."""
+    x = np.asarray(rng.normal(size=(2, 4, 5, 3, 6)).astype(np.float32))
+    w = np.asarray(rng.normal(size=(2, 2, 2, 6, 4)).astype(np.float32))
+    ours = np.asarray(conv_transpose3d_matmul(jnp.asarray(x),
+                                              jnp.asarray(w), (2, 2, 2)))
+    assert ours.shape == (2, 8, 10, 6, 4)
+
+    ref = np.zeros_like(ours)
+    for kd in range(2):
+        for kh in range(2):
+            for kw in range(2):
+                ref[:, kd::2, kh::2, kw::2] = np.einsum(
+                    "bdhwc,cf->bdhwf", x, w[kd, kh, kw])
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_fast_modules(rng):
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 4, 3)).astype(np.float32))
+    conv = FastConv3D(5, (3, 3, 3), (2, 2, 2), dtype=jnp.float32)
+    params = conv.init(jax.random.key(0), x)
+    out = conv.apply(params, x)
+    assert out.shape == (1, 4, 4, 2, 5)
+
+    up = FastConvTranspose3D(3, (2, 2, 2), dtype=jnp.float32)
+    params = up.init(jax.random.key(0), out)
+    assert up.apply(params, out).shape == (1, 8, 8, 4, 3)

@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from transoar_tpu.models.layers import EncoderCnnBlock, InstanceNorm
+from transoar_tpu.ops.conv3d import FastConv3D, FastConvTranspose3D
 
 
 def required_stages(config) -> list[int]:
@@ -106,9 +107,9 @@ class Decoder(nn.Module):
         # Lateral 1x1 convs (reference attn_fpn.py:60-63).
         laterals = {}
         for s, out_ch in zip(lateral_stages, lateral_out_ch):
-            laterals[s] = nn.Conv(
+            laterals[s] = FastConv3D(
                 out_ch, kernel_size=(1, 1, 1), dtype=self.dtype,
-                param_dtype=jnp.float32, name=f"lateral{s}")(enc_out[f"C{s}"])
+                name=f"lateral{s}")(enc_out[f"C{s}"])
 
         # Top-down path: upsample via transposed conv with the stride of the
         # stage transition (reference attn_fpn.py:76-83,109-118).
@@ -119,20 +120,18 @@ class Decoder(nn.Module):
             top_down[s] = x
             if s > earliest:
                 stride = tuple(cfg["strides"][s])
-                up = nn.ConvTranspose(
-                    lateral_out_ch[s - earliest - 1], kernel_size=stride,
-                    strides=stride, dtype=self.dtype, param_dtype=jnp.float32,
-                    name=f"up{s}")(x)
+                up = FastConvTranspose3D(
+                    lateral_out_ch[s - earliest - 1], stride=stride,
+                    dtype=self.dtype, name=f"up{s}")(x)
 
         # Out 3x3 convs only for required stages (reference attn_fpn.py:66-73).
         outputs = {}
         for s in stages_needed:
             out_ch = (cfg["start_channels"] if (seg_proxy and s == 0)
                       else fpn_channels)
-            outputs[f"P{s}"] = nn.Conv(
-                out_ch, kernel_size=(3, 3, 3), padding="SAME",
-                dtype=self.dtype, param_dtype=jnp.float32,
-                name=f"out{s}")(top_down[s])
+            outputs[f"P{s}"] = FastConv3D(
+                out_ch, kernel_size=(3, 3, 3),
+                dtype=self.dtype, name=f"out{s}")(top_down[s])
 
         # Optional deformable-attention refinement of the feature levels
         # (reference attn_fpn.py:85-103,129-136).

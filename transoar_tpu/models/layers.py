@@ -70,10 +70,12 @@ class ConvInReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(
+        from transoar_tpu.ops.conv3d import FastConv3D
+
+        x = FastConv3D(
             self.features, kernel_size=(self.kernel_size,) * 3,
-            strides=tuple(self.strides), padding="SAME", use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32)(x)
+            strides=tuple(self.strides), use_bias=False,
+            dtype=self.dtype)(x)
         x = InstanceNorm(dtype=self.dtype)(x)
         return nn.relu(x)
 
