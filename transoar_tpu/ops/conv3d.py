@@ -105,6 +105,7 @@ class FastConv3D(nn.Module):
     @nn.compact
     def __call__(self, x):
         C = x.shape[-1]
+        x = x.astype(self.dtype)
         ks = tuple(self.kernel_size)
         kernel = self.param("kernel", self.kernel_init,
                             (*ks, C, self.features), jnp.float32)
@@ -131,6 +132,7 @@ class FastConvTranspose3D(nn.Module):
     @nn.compact
     def __call__(self, x):
         C = x.shape[-1]
+        x = x.astype(self.dtype)
         s = tuple(self.stride)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (*s, C, self.features), jnp.float32)
