@@ -36,6 +36,8 @@ def build_benchmark(batch_size, patch):
     from transoar_tpu.training.trainer import make_train_step
 
     config = flagship_config(batch_size=batch_size, patch_size=patch)
+    # encoder remat trades ~30% step time for HBM; only needed at batch >= 2
+    config["backbone"]["remat"] = batch_size > 1
     model = build_transoarnet(config)
 
     example = jnp.zeros((batch_size, *patch, 1))
