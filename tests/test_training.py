@@ -88,12 +88,16 @@ def test_overfit_single_case_reduces_loss(tmp_path):
     cfg["overfit"] = True
     model = build_transoarnet(cfg)
 
+    # raise LR for a fast, visible overfit signal (must be set before the
+    # optimizer is built)
+    cfg["trainer"]["lr"] = 1e-3
+    cfg["trainer"]["lr_backbone"] = 1e-3
+    cfg["trainer"]["lr_drop"] = 1000
+
     loader = get_loader(cfg, "train", data_dir=ds_root)
     example = jnp.zeros((2, 32, 32, 16, 1))
     state = create_train_state(model, cfg, example, jax.random.key(0),
                                steps_per_epoch=len(loader))
-    # raise LR for a fast, visible overfit signal
-    cfg["trainer"]["lr"] = 1e-3
 
     trainer = Trainer(cfg, model, loader, loader, tmp_path / "runs" / "of",
                       state=state)
@@ -101,7 +105,7 @@ def test_overfit_single_case_reduces_loss(tmp_path):
     trainer.state = state
 
     first = trainer._train_one_epoch(1)
-    for _ in range(4):
+    for _ in range(6):
         last = trainer._train_one_epoch(1)
     assert np.isfinite(last["total"])
     assert last["total"] < first["total"]
