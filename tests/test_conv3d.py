@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from transoar_tpu.ops.conv3d import (FastConv3D, FastConvTranspose3D, conv3d,
-                                     conv_transpose3d_matmul)
+                                     conv3d_split, conv_transpose3d_matmul)
 
 
 def _ref_conv3d(x, w, strides):
@@ -72,3 +72,18 @@ def test_fast_modules(rng):
     up = FastConvTranspose3D(3, (2, 2, 2), dtype=jnp.float32)
     params = up.init(jax.random.key(0), out)
     assert up.apply(params, out).shape == (1, 8, 8, 4, 3)
+
+
+@pytest.mark.parametrize("shape,strides", [
+    ((1, 8, 8, 6, 3), (1, 1, 1)),
+    ((2, 9, 7, 5, 4), (2, 2, 2)),
+    ((1, 8, 8, 8, 2), (1, 2, 1)),
+])
+def test_conv3d_split_matches_lax(rng, shape, strides):
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, shape[-1], 5)).astype(
+        np.float32))
+    ours = conv3d_split(x, w, strides)
+    ref = _ref_conv3d(x, w, strides)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-4)

@@ -63,6 +63,46 @@ def conv3d(x, w, strides=(1, 1, 1), padding="SAME"):
     return out.reshape(B, D_out, H_out, W_out, F)
 
 
+def conv3d_split(x, w, strides=(1, 1, 1), padding="SAME"):
+    """Depth decomposition variant: one 2D conv PER depth tap (separate
+    kernels, separate outputs) + depth-shifted accumulation.
+
+    Avoids all lane-dimension concats/slices — the depth shifts slice the
+    leading (non-lane) spatial axis. Candidate replacement for ``conv3d``;
+    which one wins depends on XLA's fusion decisions, so both are kept and
+    selected by ``FastConv3D.variant``.
+    """
+    if padding != "SAME":
+        raise NotImplementedError
+    B, D, H, W, C = x.shape
+    KD, KH, KW, _, F = w.shape
+    sd, sh, sw = strides
+    D_out = -(-D // sd)
+    H_out = -(-H // sh)
+    W_out = -(-W // sw)
+    pad_total = max((D_out - 1) * sd + KD - D, 0)
+    pad_lo = pad_total // 2
+
+    xb = x.reshape(B * D, H, W, C)
+    out = None
+    for kd in range(KD):
+        y = jax.lax.conv_general_dilated(
+            xb, w[kd], (sh, sw), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype)
+        y = y.reshape(B, D, H_out, W_out, F)
+        # output d_out draws tap kd from input depth d_out*sd + kd - pad_lo
+        start = kd - pad_lo
+        pre = (max(-start, 0) + sd - 1) // sd  # leading out-of-range outputs
+        lo = start + pre * sd
+        hi = min(start + (D_out - 1) * sd + 1, D)
+        tap = jax.lax.slice_in_dim(y, lo, hi, sd, axis=1)
+        post = D_out - pre - tap.shape[1]
+        tap = jnp.pad(tap, ((0, 0), (pre, post), (0, 0), (0, 0), (0, 0)))
+        out = tap if out is None else out + tap
+    return out
+
+
 def conv_transpose3d_matmul(x, w, stride):
     """Transposed conv with kernel == stride as matmul + block interleave.
 
@@ -113,7 +153,11 @@ class FastConv3D(nn.Module):
             out = jnp.einsum("bdhwc,cf->bdhwf", x,
                              kernel.reshape(C, self.features))
         else:
-            out = conv3d(x, kernel, tuple(self.strides))
+            import os
+
+            variant = os.environ.get("TRANSOAR_CONV3D", "stack")
+            impl = conv3d_split if variant == "split" else conv3d
+            out = impl(x, kernel, tuple(self.strides))
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,),
                               jnp.float32)
