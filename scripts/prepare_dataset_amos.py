@@ -11,6 +11,11 @@ seeded shuffle into train/val/test counts from the dataset config
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path as _Path
+
+sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 import argparse
 import random
 from pathlib import Path

@@ -15,6 +15,11 @@ the reference's length-sort convention, transoar/utils/io.py:80).
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path as _Path
+
+sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 import argparse
 import random
 from pathlib import Path

@@ -12,6 +12,11 @@ checkpoint, evaluates on the test (or val) split and writes
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path as _Path
+
+sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 import argparse
 import logging
 from pathlib import Path

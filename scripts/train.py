@@ -10,6 +10,11 @@ config to ``runs/<experiment>/config.json`` and runs the Trainer.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path as _Path
+
+sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 import argparse
 import logging
 import random
