@@ -155,7 +155,7 @@ class FastConv3D(nn.Module):
         else:
             import os
 
-            variant = os.environ.get("TRANSOAR_CONV3D", "stack")
+            variant = os.environ.get("TRANSOAR_CONV3D", "split")
             impl = conv3d_split if variant == "split" else conv3d
             out = impl(x, kernel, tuple(self.strides))
         if self.use_bias:
