@@ -83,6 +83,14 @@ def main():
 
     enable_compilation_cache()
 
+    # Multi-host pods: initialize the distributed runtime when launched via
+    # a cluster scheduler (env-detected; single-host runs are unaffected).
+    import os
+
+    if os.environ.get("TRANSOAR_DISTRIBUTED") or \
+            os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True,
                         help="Config name in ./config (without .yaml).")
