@@ -28,12 +28,13 @@ import numpy as np
 REFERENCE_VOLUMES_PER_SEC = 2.0  # documented estimate, see module docstring
 
 
-def build_benchmark(batch_size, patch):
+def build_benchmark(batch_size, patch, scan_steps=8):
     from transoar_tpu.models.criterion import Criterion
     from transoar_tpu.models.transoarnet import build_transoarnet
     from transoar_tpu.presets import flagship_config
     from transoar_tpu.training.train_state import create_train_state
-    from transoar_tpu.training.trainer import make_train_step
+    from transoar_tpu.training.trainer import (make_multi_train_step,
+                                               make_train_step)
 
     config = flagship_config(batch_size=batch_size, patch_size=patch)
     # encoder remat trades ~30% step time for HBM; only needed at batch >= 2
@@ -45,7 +46,8 @@ def build_benchmark(batch_size, patch):
                                steps_per_epoch=100)
 
     train_step = jax.jit(
-        make_train_step(model, Criterion(config), config, model.anchors),
+        make_multi_train_step(model, Criterion(config), config,
+                              model.anchors),
         donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
@@ -61,7 +63,12 @@ def build_benchmark(batch_size, patch):
         seg[:, lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]] = int(cls)
     seg = jnp.asarray(seg)
 
-    batch = {"image": image, "seg": seg}
+    # stack scan_steps batches for one-dispatch multi-step execution
+    batch = {
+        "image": jnp.broadcast_to(image[None],
+                                  (scan_steps, *image.shape)),
+        "seg": jnp.broadcast_to(seg[None], (scan_steps, *seg.shape)),
+    }
     return state, train_step, batch
 
 
@@ -73,12 +80,15 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--patch", type=int, nargs=3, default=[256, 256, 128])
-    parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--steps", type=int, default=10,
+                        help="number of multi-step dispatches to time")
     parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--scan_steps", type=int, default=8,
+                        help="train steps fused into one dispatch")
     args = parser.parse_args()
 
-    state, train_step, batch = build_benchmark(args.batch_size,
-                                               tuple(args.patch))
+    state, train_step, batch = build_benchmark(
+        args.batch_size, tuple(args.patch), scan_steps=args.scan_steps)
     rng = jax.random.key(0)
 
     for _ in range(args.warmup):
@@ -91,7 +101,8 @@ def main():
     jax.block_until_ready(losses)
     elapsed = time.perf_counter() - t0
 
-    volumes_per_sec = args.batch_size * args.steps / elapsed
+    volumes_per_sec = (args.batch_size * args.scan_steps *
+                       args.steps) / elapsed
     print(json.dumps({
         "metric": "CT volumes/sec/chip (Focused Decoder train step, "
                   "%dx%dx%d, batch %d)" % (*args.patch, args.batch_size),

@@ -94,6 +94,28 @@ def make_train_step(model, criterion: Criterion, config, anchors):
     return train_step
 
 
+def make_multi_train_step(model, criterion: Criterion, config, anchors):
+    """K train steps in ONE dispatch via ``lax.scan`` over stacked batches.
+
+    Dispatch latency is significant on remote-attached TPUs (measured ~80 ms
+    per call through the tunnel vs ~38 ms device compute for the flagship
+    step); scanning ``steps_per_dispatch`` batches amortizes it. Batches:
+    dict of arrays with a leading K axis; returns per-step loss dicts
+    stacked along K. Step randomness is preserved (the PRNG folds in
+    ``state.step`` inside the scanned body).
+    """
+    step = make_train_step(model, criterion, config, anchors)
+
+    def multi_step(state, batches, rng):
+        def body(carry, batch):
+            new_state, losses = step(carry, batch, rng)
+            return new_state, losses
+
+        return jax.lax.scan(body, state, batches)
+
+    return multi_step
+
+
 def make_eval_step(model, criterion: Criterion, config, anchors):
     coefs = config["loss_coefs"]
     num_classes = config["neck"]["num_organs"]
@@ -167,6 +189,16 @@ class Trainer:
             donate_argnums=(0,),
             out_shardings=(replicated, replicated),
         )
+        # multi-step dispatch (amortizes host->device dispatch latency)
+        self._steps_per_dispatch = int(
+            config["trainer"].get("steps_per_dispatch", 1))
+        if self._steps_per_dispatch > 1:
+            self._multi_train_step = jax.jit(
+                make_multi_train_step(model, self._criterion, config,
+                                      anchors),
+                donate_argnums=(0,),
+                out_shardings=(replicated, replicated),
+            )
         self._eval_step = jax.jit(
             make_eval_step(model, self._criterion, config, anchors))
 
@@ -196,17 +228,43 @@ class Trainer:
         # Loss scalars stay on device during the epoch — fetching per step
         # would sync the pipeline; one device_get at the end drains it.
         step_losses = []
-        for device_batch in self._prefetch(self._train_loader):
-            self.state, losses = self._train_step(
-                self.state, device_batch, self._rng)
-            step_losses.append(losses)
+        count = 0
+        K = self._steps_per_dispatch
+        if K > 1:
+            pending = []
+            for batch in self._train_loader:
+                pending.append(batch)
+                if len(pending) == K:
+                    stacked = {
+                        key: np.stack([b[key] for b in pending])
+                        for key in ("image", "seg")}
+                    device_batch = {
+                        key: jax.device_put(val)
+                        for key, val in stacked.items()}
+                    self.state, losses = self._multi_train_step(
+                        self.state, device_batch, self._rng)
+                    step_losses.append(losses)  # [K, ...] per key
+                    count += K
+                    pending = []
+            for batch in pending:  # ragged tail runs single steps
+                self.state, losses = self._train_step(
+                    self.state, self._device_batch(batch), self._rng)
+                step_losses.append(
+                    {k: v[None] for k, v in losses.items()})
+                count += 1
+        else:
+            for device_batch in self._prefetch(self._train_loader):
+                self.state, losses = self._train_step(
+                    self.state, device_batch, self._rng)
+                step_losses.append(
+                    {k: jnp.asarray(v)[None] for k, v in losses.items()})
+                count += 1
 
         agg = {}
         for losses in jax.device_get(step_losses):
             for key, val in losses.items():
-                agg[key] = agg.get(key, 0.0) + float(val)
-        count = max(len(step_losses), 1)
-        means = {k: v / count for k, v in agg.items()}
+                agg[key] = agg.get(key, 0.0) + float(np.sum(val))
+        means = {k: v / max(count, 1) for k, v in agg.items()}
         self._log(epoch, "train", means)
         return means
 
