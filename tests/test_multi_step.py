@@ -60,3 +60,29 @@ def test_trainer_steps_per_dispatch(tmp_path):
     means = trainer._train_one_epoch(1)
     assert np.isfinite(means["total"])
     assert int(trainer.state.step) == len(loader)
+
+
+def test_grad_accumulation():
+    """grad_accum_steps=2: params update only every second step, and the
+    update equals one step on the averaged gradients."""
+    cfg = tiny_config(num_organs=2, qpo=1, patch=(32, 32, 16))
+    cfg["trainer"]["grad_accum_steps"] = 2
+    model = build_transoarnet(cfg)
+    example = jnp.zeros((1, 32, 32, 16, 1))
+    state = create_train_state(model, cfg, example, jax.random.key(0), 4)
+
+    images, seg = synthetic_batch(cfg, batch_size=1, seed=0)
+    batch = {"image": jnp.asarray(images), "seg": jnp.asarray(seg)}
+    crit = Criterion(cfg)
+    step = jax.jit(make_train_step(model, crit, cfg, model.anchors))
+
+    p0 = jax.tree.leaves(state.params)
+    state, _ = step(state, batch, jax.random.key(1))
+    p1 = jax.tree.leaves(state.params)
+    for a, b in zip(p0, p1):  # first micro-step: no update yet
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    state, _ = step(state, batch, jax.random.key(1))
+    p2 = jax.tree.leaves(state.params)
+    changed = any(not np.array_equal(np.asarray(a), np.asarray(b))
+                  for a, b in zip(p1, p2))
+    assert changed

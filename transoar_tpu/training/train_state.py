@@ -59,6 +59,13 @@ def make_optimizer(config, steps_per_epoch):
 
     if clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+
+    # Gradient accumulation: effective batch = batch_size * grad_accum_steps.
+    # On one v5e chip the flagship trains fastest at device batch 1
+    # (PERFORMANCE.md); accum 2 reproduces the reference's batch-2 semantics.
+    accum = int(tcfg.get("grad_accum_steps", 1))
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx
 
 
