@@ -33,8 +33,7 @@ def build_benchmark(batch_size, patch, scan_steps=8):
     from transoar_tpu.models.transoarnet import build_transoarnet
     from transoar_tpu.presets import flagship_config
     from transoar_tpu.training.train_state import create_train_state
-    from transoar_tpu.training.trainer import (make_multi_train_step,
-                                               make_train_step)
+    from transoar_tpu.training.trainer import make_multi_train_step
 
     config = flagship_config(batch_size=batch_size, patch_size=patch)
     # encoder remat trades ~30% step time for HBM; only needed at batch >= 2

@@ -22,7 +22,7 @@ from typing import Any, Dict
 import flax.linen as nn
 import jax.numpy as jnp
 
-from transoar_tpu.models.layers import EncoderCnnBlock, InstanceNorm
+from transoar_tpu.models.layers import EncoderCnnBlock
 from transoar_tpu.ops.conv3d import FastConv3D, FastConvTranspose3D
 
 

@@ -20,7 +20,7 @@ Everything is fixed-shape and jittable; assignment is a [A, G] IoU argmax.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

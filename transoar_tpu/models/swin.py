@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from transoar_tpu.models.layers import InstanceNorm, xavier_uniform
+from transoar_tpu.models.layers import InstanceNorm
 
 
 def effective_window(spatial, window_size, shift_size):

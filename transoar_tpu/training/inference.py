@@ -14,7 +14,6 @@ full batch is decoded.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 
