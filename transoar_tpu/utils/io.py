@@ -71,13 +71,17 @@ def validate_config(config):
     if missing:
         raise KeyError(f"config missing required sections: {missing}")
     neck = config["neck"]
-    qpo, rem = divmod(neck["num_queries"], neck["num_organs"])
-    if rem:
-        raise ValueError(
-            f"num_queries ({neck['num_queries']}) must be a multiple of "
-            f"num_organs ({neck['num_organs']})")
-    if qpo not in (1, 7, 27, 54):
-        raise ValueError(f"queries per organ must be in (1, 7, 27, 54), got {qpo}")
+    # the per-organ query layout only constrains the focused-decoder branch
+    # (reference focused_decoder.py:97); DETR branches use a free query set
+    if neck.get("name", "foc_attn") == "foc_attn" and "retina" not in config:
+        qpo, rem = divmod(neck["num_queries"], neck["num_organs"])
+        if rem:
+            raise ValueError(
+                f"num_queries ({neck['num_queries']}) must be a multiple of "
+                f"num_organs ({neck['num_organs']})")
+        if qpo not in (1, 7, 27, 54):
+            raise ValueError(
+                f"queries per organ must be in (1, 7, 27, 54), got {qpo}")
     return config
 
 
