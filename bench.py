@@ -37,7 +37,9 @@ def build_benchmark(batch_size, patch, scan_steps=8):
 
     config = flagship_config(batch_size=batch_size, patch_size=patch)
     # encoder remat trades ~30% step time for HBM; only needed at batch >= 2
-    config["backbone"]["remat"] = batch_size > 1
+    config["backbone"]["remat"] = False
+    # per-sample microbatching sidesteps XLA's batch>=2 conv slowdown
+    config["trainer"]["microbatch"] = batch_size > 1
     model = build_transoarnet(config)
 
     example = jnp.zeros((batch_size, *patch, 1))

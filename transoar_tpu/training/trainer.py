@@ -61,6 +61,36 @@ def make_train_step(model, criterion: Criterion, config, anchors):
         # host augmentation already windowed + augmented the batch
         stats = None
 
+    # XLA's conv strategy degrades superlinearly with the (B*D) slice count
+    # at these volume sizes (763 ms at batch 2 vs 2x121 ms at batch 1,
+    # PERFORMANCE.md); ``trainer.microbatch: true`` runs the model
+    # per-sample under ``lax.map`` inside the step (loss/matching stay
+    # batch-global, so semantics are unchanged).
+    microbatch = bool(config.get("trainer", {}).get("microbatch", False))
+
+    def apply_model(params, image, step_rng):
+        if not microbatch or image.shape[0] == 1:
+            return model.apply({"params": params}, image,
+                               deterministic=False,
+                               rngs={"dropout": step_rng})
+
+        def fwd_one(args):
+            idx, img = args
+            rngs = {"dropout": jax.random.fold_in(step_rng, idx)}
+            return model.apply({"params": params}, img[None],
+                               deterministic=False, rngs=rngs)
+
+        B = image.shape[0]
+        outs = jax.lax.map(fwd_one, (jnp.arange(B), image))
+        out = {}
+        for key, val in outs.items():
+            if key.startswith("aux_"):
+                # [B, L, 1, ...] -> [L, B, ...]
+                out[key] = jnp.moveaxis(val[:, :, 0], 0, 1)
+            else:
+                out[key] = val[:, 0]  # [B, 1, ...] -> [B, ...]
+        return out
+
     def train_step(state, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
         image, seg = batch["image"], batch["seg"]
@@ -78,9 +108,7 @@ def make_train_step(model, criterion: Criterion, config, anchors):
         targets = derive_targets(batch["seg"], num_classes, padding)
 
         def loss_fn(params):
-            out = model.apply({"params": params}, batch["image"],
-                              deterministic=False,
-                              rngs={"dropout": step_rng})
+            out = apply_model(params, batch["image"], step_rng)
             losses = criterion(out, targets, anchors)
             return total_loss(losses, coefs), losses
 
