@@ -87,3 +87,19 @@ def test_conv3d_split_matches_lax(rng, shape, strides):
     ref = _ref_conv3d(x, w, strides)
     assert ours.shape == ref.shape
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-4)
+
+
+def test_conv3d_packed_matches_lax(rng):
+    from transoar_tpu.ops.conv3d import conv3d_packed
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 6, 5, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 4)).astype(np.float32))
+    ours = conv3d_packed(x, w, pack=4)
+    ref = _ref_conv3d(x, w, (1, 1, 1))
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-4)
+    # fallback path for non-divisible depth
+    x2 = jnp.asarray(rng.normal(size=(1, 6, 6, 5, 3)).astype(np.float32))
+    ours2 = conv3d_packed(x2, w, pack=4)
+    ref2 = _ref_conv3d(x2, w, (1, 1, 1))
+    np.testing.assert_allclose(np.asarray(ours2), np.asarray(ref2),
+                               atol=1e-4)

@@ -103,6 +103,46 @@ def conv3d_split(x, w, strides=(1, 1, 1), padding="SAME"):
     return out
 
 
+def conv3d_packed(x, w, pack=4):
+    """Stride-1 variant packing ``pack`` depth slices into channels.
+
+    Raises MXU lane utilization for small channel counts: a KD=3 conv on
+    packs of 4 becomes ONE 2D conv with C_in' = (pack + 2) * C (halo slices
+    included) and C_out' = pack * F — e.g. 24 channels -> 144-in/96-out,
+    75% of the 128-lane tile instead of 19%. Costs 1.5x the real FLOPs
+    (the block-banded kernel carries zeros) but pads ~4x better.
+    """
+    B, D, H, W, C = x.shape
+    KD, KH, KW, _, F = w.shape
+    if KD != 3 or D % pack:
+        return conv3d_split(x, w, (1, 1, 1))
+    Dp = D // pack
+
+    # packs with one halo slice on each side: [B, Dp, (pack+2)*C] channels
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    slabs = [
+        jax.lax.slice_in_dim(xp, g, g + (Dp - 1) * pack + 1, pack, axis=1)
+        for g in range(pack + 2)
+    ]
+    xpk = jnp.concatenate(slabs, axis=-1)  # [B, Dp, H, W, (pack+2)*C]
+
+    # block-banded kernel: output block g (depth offset g within the pack)
+    # draws tap kd from input slab block g + kd
+    wp = jnp.zeros((KH, KW, (pack + 2) * C, pack * F), x.dtype)
+    for g in range(pack):
+        for kd in range(KD):
+            j = g + kd
+            wp = wp.at[:, :, j * C:(j + 1) * C,
+                       g * F:(g + 1) * F].set(w[kd].astype(x.dtype))
+
+    y = jax.lax.conv_general_dilated(
+        xpk.reshape(B * Dp, H, W, (pack + 2) * C), wp, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    y = y.reshape(B, Dp, H, W, pack, F)
+    return jnp.moveaxis(y, 4, 2).reshape(B, D, H, W, F)
+
+
 def conv_transpose3d_matmul(x, w, stride):
     """Transposed conv with kernel == stride as matmul + block interleave.
 
@@ -156,8 +196,12 @@ class FastConv3D(nn.Module):
             import os
 
             variant = os.environ.get("TRANSOAR_CONV3D", "split")
-            impl = conv3d_split if variant == "split" else conv3d
-            out = impl(x, kernel, tuple(self.strides))
+            if variant == "packed" and tuple(self.strides) == (1, 1, 1):
+                out = conv3d_packed(x, kernel)
+            elif variant == "stack":
+                out = conv3d(x, kernel, tuple(self.strides))
+            else:
+                out = conv3d_split(x, kernel, tuple(self.strides))
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,),
                               jnp.float32)
