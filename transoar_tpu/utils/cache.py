@@ -15,6 +15,15 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.p
 def enable_compilation_cache(cache_dir=None, min_compile_secs=5.0):
     import jax
 
+    # CPU executables are AOT-compiled for the exact host CPU; caching them
+    # risks SIGILL when the cache moves between machines (observed with the
+    # virtual-device dry runs). Only cache accelerator compiles.
+    try:
+        if jax.default_backend() == "cpu":
+            return
+    except RuntimeError:
+        pass
+
     cache_dir = cache_dir or os.environ.get("TRANSOAR_XLA_CACHE",
                                             _DEFAULT_DIR)
     os.makedirs(cache_dir, exist_ok=True)
