@@ -103,3 +103,26 @@ def test_conv3d_packed_matches_lax(rng):
     ref2 = _ref_conv3d(x2, w, (1, 1, 1))
     np.testing.assert_allclose(np.asarray(ours2), np.asarray(ref2),
                                atol=1e-4)
+
+
+def test_conv3d_patch_matmul_matches_lax(rng):
+    from transoar_tpu.ops.conv3d import conv3d_patch_matmul
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 6, 4, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(2, 2, 2, 3, 5)).astype(np.float32))
+    ours = conv3d_patch_matmul(x, w, (2, 2, 2))
+    ref = _ref_conv3d(x, w, (2, 2, 2))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-4)
+
+
+def test_fastconv3d_patch_path(rng):
+    # kernel == stride routes through the patch matmul
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 4, 3)).astype(np.float32))
+    conv = FastConv3D(5, (2, 2, 2), (2, 2, 2), dtype=jnp.float32)
+    params = conv.init(jax.random.key(0), x)
+    out = conv.apply(params, x)
+    kernel = params["params"]["kernel"]
+    bias = params["params"]["bias"]
+    ref = _ref_conv3d(x, kernel, (2, 2, 2)) + bias
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)

@@ -132,3 +132,32 @@ def test_set_criterion_learns_assignment(rng):
     assert float(losses["bbox"]) < 1e-4
     assert float(losses["giou"]) < 1e-3
     assert float(losses["cls"]) < 0.1
+
+
+def test_set_criterion_absent_slot_does_not_clobber_query0():
+    """Regression: absent GT slots (assign=-1) used to be clipped to index 0
+    and scattered no-object onto query 0, silently erasing a real match
+    there. Query 0 matched to class 1 + classes 2/3 absent must yield a
+    near-zero cls loss when query 0 confidently predicts class 1."""
+    cfg = _detr_cfg("detr")
+    crit = SetCriterion(cfg)
+    G, Q = 3, 12
+    tgt_boxes = np.zeros((1, G, 6), np.float32)
+    tgt_boxes[0, 0] = [0.3, 0.3, 0.3, 0.2, 0.2, 0.2]
+    present = np.array([[True, False, False]])
+
+    boxes = np.tile(np.array([0.8, 0.8, 0.8, 0.05, 0.05, 0.05], np.float32),
+                    (1, Q, 1))
+    boxes[0, 0] = tgt_boxes[0, 0]  # query 0 is the only sensible match
+    logits = np.zeros((1, Q, G + 1), np.float32)
+    logits[:, :, 0] = 6.0
+    logits[0, 0] = [0.0, 6.0, 0.0, 0.0]  # query 0 -> class 1, confidently
+
+    losses = crit({"pred_logits": jnp.asarray(logits),
+                   "pred_boxes": jnp.asarray(boxes)},
+                  {"boxes": jnp.asarray(tgt_boxes),
+                   "present": jnp.asarray(present)}, None)
+    # with the clipping bug the target for query 0 flips to no-object and
+    # cls explodes (>1); correct behavior is near-zero CE everywhere
+    assert float(losses["cls"]) < 0.05
+    assert float(losses["bbox"]) < 1e-4

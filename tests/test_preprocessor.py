@@ -27,6 +27,25 @@ def test_nifti_int_labels_roundtrip(tmp_path):
     np.testing.assert_array_equal(loaded["data"].astype(np.int16), label)
 
 
+def test_nifti_scl_inter_applied_with_unit_slope(tmp_path):
+    """NIfTI-1 requires slope*v + inter whenever slope != 0 — in particular
+    the common CT encoding slope=1, inter=-1024 must rescale."""
+    import gzip
+    import struct
+
+    data = np.arange(24, dtype=np.int16).reshape(4, 3, 2)
+    path = tmp_path / "ct.nii"
+    write_nifti(data, path)
+    raw = bytearray(path.read_bytes())
+    struct.pack_into("<f", raw, 112, 1.0)      # scl_slope
+    struct.pack_into("<f", raw, 116, -1024.0)  # scl_inter
+    path.write_bytes(bytes(raw))
+
+    loaded = load_nifti(path)
+    np.testing.assert_allclose(loaded["data"],
+                               data.astype(np.float32) - 1024.0)
+
+
 def test_reorient_ras_flip():
     data = np.arange(24, dtype=np.float32).reshape(4, 3, 2)
     affine = np.diag([-1.0, 1.0, 1.0, 1.0])  # L-flip on axis 0

@@ -38,6 +38,24 @@ def test_nms_score_threshold_and_order():
     assert keep.tolist() == [1, 0]  # score order, third filtered
 
 
+def test_batched_class_nms_keeps_cross_class_overlaps():
+    from transoar_tpu.ops.nms import batched_class_nms
+
+    # identical boxes in different classes must NOT suppress each other;
+    # same-class overlap must.
+    boxes = jnp.asarray([
+        [0.0, 0.0, 0.0, 1.0, 1.0, 1.0],
+        [0.0, 0.0, 0.0, 1.0, 1.0, 1.0],    # class 1: same box, kept
+        [0.05, 0.0, 0.0, 1.05, 1.0, 1.0],  # class 0: IoU ~0.9, suppressed
+    ])
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    classes = jnp.asarray([0, 1, 0])
+    keep, valid = batched_class_nms(boxes, scores, classes,
+                                    iou_threshold=0.5, max_out=3)
+    keep = np.asarray(keep)[np.asarray(valid)]
+    assert sorted(keep.tolist()) == [0, 1]
+
+
 def test_anchor_generation_counts_and_range():
     a = generate_level_anchors([32, 32, 16], level=2,
                                scales=[8, 16], ratios=[[1, 1, 1],

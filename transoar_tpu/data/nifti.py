@@ -65,7 +65,12 @@ def load_nifti(path):
         data = np.frombuffer(f.read(count * dtype.itemsize), dtype=dtype)
         data = data.reshape(shape, order="F").astype(np.float32)
 
-    if scl_slope not in (0.0, 1.0) and np.isfinite(scl_slope):
+    # NIfTI-1: apply slope*v + inter whenever slope != 0 — slope=1 with a
+    # nonzero intercept (e.g. CT stored as slope=1/inter=-1024) must still
+    # rescale, or HU values silently shift vs the reference pipeline.
+    if (scl_slope != 0.0 and np.isfinite(scl_slope)
+            and np.isfinite(scl_inter)
+            and (scl_slope, scl_inter) != (1.0, 0.0)):
         data = data * scl_slope + scl_inter
 
     if sform_code > 0:

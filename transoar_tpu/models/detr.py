@@ -229,13 +229,17 @@ class SetCriterion:
             self.cost_giou)
         assign = hungarian_match(cost, tgt_present)  # [B, G] query idx
 
-        # classification targets: no-object everywhere, GT class at matches
-        safe_assign = jnp.clip(assign, 0)
+        # classification targets: no-object everywhere, GT class at matches.
+        # Absent GT slots must not write at all — clipping assign=-1 to 0
+        # would scatter no-object onto query 0 and clobber a real match
+        # there. Route absent slots to an out-of-bounds index instead; the
+        # scatter drops OOB updates.
+        scatter_idx = jnp.where(tgt_present, assign, Q)
         cls_target = jnp.zeros((B, Q), jnp.int32)
         gt_classes = jnp.arange(1, G + 1, dtype=jnp.int32)[None].repeat(B, 0)
         cls_target = cls_target.at[
-            jnp.arange(B)[:, None], safe_assign].set(
-                jnp.where(tgt_present, gt_classes, 0))
+            jnp.arange(B)[:, None], scatter_idx].set(gt_classes, mode="drop")
+        safe_assign = jnp.clip(assign, 0)
 
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         ce = -jnp.take_along_axis(logp, cls_target[..., None], axis=-1)[..., 0]

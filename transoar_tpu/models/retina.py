@@ -29,6 +29,7 @@ import numpy as np
 
 from transoar_tpu.models.attn_fpn import AttnFPN
 from transoar_tpu.models.focused_decoder import level_spatial_shape
+from transoar_tpu.ops.conv3d import FastConv3D
 from transoar_tpu.ops.nms import nms_3d
 from transoar_tpu.utils.boxes import (box_cxcyczwhd_to_xyzxyz,
                                       box_iou_pairwise,
@@ -98,14 +99,15 @@ class ConvTower(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # FastConv3D, not nn.Conv: the towers run over the largest FPN
+        # levels, where XLA's native 3D conv path is 3-5x slower on TPU
+        # (project invariant, see transoar_tpu/ops/conv3d.py).
         for i in range(self.depth):
-            x = nn.Conv(self.features, (3, 3, 3), padding="SAME",
-                        dtype=self.dtype, param_dtype=jnp.float32,
-                        name=f"conv{i}")(x)
+            x = FastConv3D(self.features, (3, 3, 3), dtype=self.dtype,
+                           name=f"conv{i}")(x)
             x = nn.relu(x)
-        return nn.Conv(
-            self.out_features, (3, 3, 3), padding="SAME", dtype=self.dtype,
-            param_dtype=jnp.float32,
+        return FastConv3D(
+            self.out_features, (3, 3, 3), dtype=self.dtype,
             bias_init=nn.initializers.constant(self.bias_init_value),
             name="out")(x)
 
@@ -153,9 +155,8 @@ class RetinaNet(nn.Module):
         if cfg["backbone"].get("use_seg_proxy_loss"):
             num_seg = 2 if cfg["backbone"].get("fg_bg", True) \
                 else num_classes + 1
-            out["pred_seg"] = nn.Conv(
+            out["pred_seg"] = FastConv3D(
                 num_seg, (1, 1, 1), dtype=self.dtype,
-                param_dtype=jnp.float32,
                 name="seg_head")(backbone_out["P0"]).astype(jnp.float32)
         return out
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from transoar_tpu.models.layers import InstanceNorm
+from transoar_tpu.ops.conv3d import FastConv3D
 
 
 def effective_window(spatial, window_size, shift_size):
@@ -212,9 +213,11 @@ class ConvPatchMerging(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.dim * 2, kernel_size=(2, 2, 2), strides=(2, 2, 2),
-                    use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32)(x)
+        # FastConv3D's kernel==stride path: a non-overlapping patch conv is
+        # a block reshape + matmul (XLA's 3D conv emitter is slow on TPU).
+        x = FastConv3D(self.dim * 2, kernel_size=(2, 2, 2),
+                       strides=(2, 2, 2), use_bias=False,
+                       dtype=self.dtype)(x)
         x = InstanceNorm(dtype=self.dtype)(x)
         return nn.relu(x)
 

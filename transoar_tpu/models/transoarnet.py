@@ -32,6 +32,7 @@ from transoar_tpu.models.focused_decoder import (FocusedDecoder,
                                                  level_spatial_shape)
 from transoar_tpu.models.layers import MLP
 from transoar_tpu.models.position_encoding import build_pos_enc
+from transoar_tpu.ops.conv3d import FastConv3D
 
 
 class TransoarNet(nn.Module):
@@ -143,9 +144,8 @@ class TransoarNet(nn.Module):
             seg_src = backbone_out["P0"]
             num_seg = 2 if cfg["backbone"].get("fg_bg", True) \
                 else neck_cfg["num_organs"] + 1
-            out["pred_seg"] = nn.Conv(
+            out["pred_seg"] = FastConv3D(
                 num_seg, kernel_size=(1, 1, 1), dtype=self.dtype,
-                param_dtype=jnp.float32,
                 name="seg_head")(seg_src).astype(jnp.float32)
 
         if return_weights:

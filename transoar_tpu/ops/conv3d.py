@@ -143,6 +143,25 @@ def conv3d_packed(x, w, pack=4):
     return jnp.moveaxis(y, 4, 2).reshape(B, D, H, W, F)
 
 
+def conv3d_patch_matmul(x, w, stride):
+    """Strided conv with kernel == stride (non-overlapping patches) as
+    block reshape + matmul — the inverse of ``conv_transpose3d_matmul``.
+
+    x: [B, D, H, W, C]; w: [s0, s1, s2, C, F]; returns
+    [B, D//s0, H//s1, W//s2, F]. Exactly equivalent to the VALID/SAME
+    strided conv when each spatial dim divides by its stride.
+    """
+    s0, s1, s2 = stride
+    B, D, H, W, C = x.shape
+    F = w.shape[-1]
+    assert D % s0 == 0 and H % s1 == 0 and W % s2 == 0, (x.shape, stride)
+    xb = x.reshape(B, D // s0, s0, H // s1, s1, W // s2, s2, C)
+    xb = xb.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+        B, D // s0, H // s1, W // s2, s0 * s1 * s2 * C)
+    wmat = w.reshape(s0 * s1 * s2 * C, F)
+    return jnp.einsum("bdhwk,kf->bdhwf", xb, wmat.astype(x.dtype))
+
+
 def conv_transpose3d_matmul(x, w, stride):
     """Transposed conv with kernel == stride as matmul + block interleave.
 
@@ -192,6 +211,11 @@ class FastConv3D(nn.Module):
         if ks == (1, 1, 1) and tuple(self.strides) == (1, 1, 1):
             out = jnp.einsum("bdhwc,cf->bdhwf", x,
                              kernel.reshape(C, self.features))
+        elif ks == tuple(self.strides):
+            # non-overlapping patch conv (kernel == stride, e.g. patch
+            # merging): every output voxel is one linear map of a disjoint
+            # input block -> block reshape + matmul, no conv at all
+            out = conv3d_patch_matmul(x, kernel, ks)
         else:
             import os
 

@@ -66,7 +66,6 @@ def batched_class_nms(boxes, scores, classes, iou_threshold=0.5,
                       max_out=100, score_threshold=None):
     """Per-class NMS in one pass: offset each class's boxes into a disjoint
     region so cross-class pairs never overlap (the standard trick)."""
-    offsets = classes.astype(boxes.dtype)[:, None] * 2.0
-    shifted = boxes + jnp.concatenate(
-        [offsets, offsets], axis=-1) * jnp.ones((1, 6), boxes.dtype)
+    offsets = classes.astype(boxes.dtype)[:, None] * 2.0  # [N, 1]
+    shifted = boxes + offsets  # broadcasts over all 6 corner coords
     return nms_3d(shifted, scores, iou_threshold, max_out, score_threshold)
