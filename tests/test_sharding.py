@@ -70,3 +70,52 @@ def test_pad_batch_to():
     padded, mask = mesh_lib.pad_batch_to(batch, 4)
     assert padded["image"].shape[0] == 4
     assert mask.tolist() == [True, True, True, False]
+
+
+def test_dp_sp_matches_single_device():
+    """dp x sp sharded step must agree numerically with the unsharded step
+    (same tolerance discipline as the dp-only test: allclose, not
+    bit-equality — reduction orders differ across partitions)."""
+    batch = 4
+    cfg, model, state, step_fn, batch_data = _build(batch)
+
+    step1 = jax.jit(step_fn)
+    state1, losses1 = step1(state, jax.device_put(batch_data),
+                            jax.random.key(1))
+
+    mesh = mesh_lib.make_mesh(dp=4, sp=2)
+    rep = mesh_lib.replicated(mesh)
+    step_sp = jax.jit(step_fn, out_shardings=(rep, rep))
+    device_batch = mesh_lib.shard_batch(batch_data, mesh)
+    state_b = create_train_state(model, cfg,
+                                 jnp.zeros((batch, 32, 32, 16, 1)),
+                                 jax.random.key(0), steps_per_epoch=4)
+    state_sp, losses_sp = step_sp(state_b, device_batch, jax.random.key(1))
+
+    np.testing.assert_allclose(float(losses1["total"]),
+                               float(losses_sp["total"]), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state_sp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_multi_step_dispatch_on_mesh():
+    """steps_per_dispatch > 1 must run on a dp>1 mesh with the stacked
+    sharding (regression: bare device_put used to fight the mesh)."""
+    from transoar_tpu.training.trainer import make_multi_train_step
+    from transoar_tpu.models.criterion import Criterion as Crit
+
+    batch = 4
+    cfg, model, state, _, batch_data = _build(batch)
+    mesh = mesh_lib.make_mesh(dp=4, sp=2)
+    rep = mesh_lib.replicated(mesh)
+    multi = jax.jit(make_multi_train_step(model, Crit(cfg), cfg,
+                                          model.anchors),
+                    donate_argnums=(0,), out_shardings=(rep, rep))
+    K = 2
+    stacked = {k: np.stack([np.asarray(v)] * K) for k, v in
+               batch_data.items()}
+    device_batch = mesh_lib.shard_stacked_batch(stacked, mesh)
+    state, losses = multi(state, device_batch, jax.random.key(1))
+    assert losses["total"].shape == (K,)
+    assert np.isfinite(np.asarray(losses["total"])).all()

@@ -73,3 +73,55 @@ def test_swin_fpn_backbone_forward():
     out = model.apply(params, x)
     assert out["pred_logits"].shape == (1, 2, 1)
     assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+
+
+def test_drop_path_zero_is_identity_nonzero_changes_training(rng):
+    """drop_path_rate=0 must not change anything; rate>0 must perturb
+    training-mode outputs per sample while leaving eval mode untouched."""
+    x = jnp.asarray(rng.normal(size=(4, 8, 8, 4, 6)).astype(np.float32))
+
+    def run(rate, deterministic, seed=0):
+        block = EncoderSwinBlock(depth=2, num_heads=2, window_size=(2, 2, 2),
+                                 drop_path=(0.0, rate), dtype=jnp.float32)
+        params = block.init(jax.random.key(0), x)
+        return block.apply(params, x, deterministic=deterministic,
+                           rngs={"dropout": jax.random.key(seed)})
+
+    base = run(0.0, True)
+    # rate=0: identical in both modes (no dropout rng consumed)
+    np.testing.assert_array_equal(np.asarray(run(0.0, False)),
+                                  np.asarray(base))
+    # rate>0, eval mode: identity
+    np.testing.assert_array_equal(np.asarray(run(0.9, True)),
+                                  np.asarray(base))
+    # rate>0, training: differs, and differently across dropout seeds
+    t1, t2 = run(0.9, False, seed=1), run(0.9, False, seed=2)
+    assert not np.allclose(np.asarray(t1), np.asarray(base))
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+
+def test_swin_fpn_drop_path_schedule_trains():
+    """SwinFPN with drop_path_rate>0 must produce stochastic training
+    forwards through the full model (the config key is consumed)."""
+    cfg = tiny_config(num_organs=2, qpo=1, precision="float32")
+    cfg["backbone"]["use_encoder_attn"] = True
+    cfg["backbone"]["swin"] = {
+        "depths": [1, 2], "num_heads": [2, 2], "window_size": [2, 2, 2],
+        "mlp_ratio": 2, "qkv_bias": True, "drop_path_rate": 0.8,
+        "conv_merging": False,
+    }
+    # anchor_offset_pred zero-inits the heads, making logits input-
+    # independent at init — disable it so stochasticity reaches the output
+    cfg["neck"]["anchor_offset_pred"] = False
+    model = build_transoarnet(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 32, 32, 16, 1)).astype(np.float32))
+    params = model.init(jax.random.key(0), x)
+    out_eval = model.apply(params, x, deterministic=True)
+    o1 = model.apply(params, x, deterministic=False,
+                     rngs={"dropout": jax.random.key(1)})
+    o2 = model.apply(params, x, deterministic=False,
+                     rngs={"dropout": jax.random.key(2)})
+    assert not np.allclose(np.asarray(o1["pred_logits"]),
+                           np.asarray(o2["pred_logits"]))
+    assert np.isfinite(np.asarray(out_eval["pred_logits"])).all()

@@ -101,3 +101,59 @@ def test_eval_transform_windows():
     img = jnp.asarray([[-200.0, 0.0, 200.0]])
     out = eval_transform(img, stats)
     np.testing.assert_allclose(np.asarray(out), [[0.0, 0.5, 1.0]])
+
+
+def test_gaussian_smooth_matches_scipy(rng):
+    """Device separable blur must match scipy's gaussian_filter with the
+    same zero-padding convention (the host/MONAI path)."""
+    from scipy import ndimage
+
+    from transoar_tpu.data.transforms import gaussian_smooth
+
+    img = jnp.asarray(rng.normal(size=(12, 10, 8)).astype(np.float32))
+    sigmas = jnp.asarray([0.8, 0.6, 1.0])
+    ours = gaussian_smooth(img, sigmas, radius=4)
+    ref = ndimage.gaussian_filter(np.asarray(img), sigma=[0.8, 0.6, 1.0],
+                                  mode="constant", cval=0.0, truncate=4.0)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-3, rtol=1e-3)
+
+
+def test_gaussian_smooth_augmentation_fires(rng):
+    """p_gaussian_smooth=1 must blur (reduce local variation);
+    p=0 must be exact identity."""
+    images = jnp.asarray(rng.normal(size=(1, 8, 8, 4, 1)).astype(np.float32))
+    labels = jnp.zeros((1, 8, 8, 4), jnp.int32)
+
+    aug_off = _base_aug()
+    out_off, _ = augment_batch(images, labels, jax.random.key(0), aug_off)
+    np.testing.assert_array_equal(np.asarray(out_off), np.asarray(images))
+
+    aug_on = _base_aug(p_gaussian_smooth=1.0,
+                       gaussian_smooth_sigma=[0.5, 1.0])
+    out_on, _ = augment_batch(images, labels, jax.random.key(0), aug_on)
+    tv = lambda x: np.abs(np.diff(np.asarray(x)[0, ..., 0], axis=0)).mean()
+    assert tv(out_on) < 0.6 * tv(images)
+
+
+def test_host_gaussian_smooth_fires(rng):
+    from transoar_tpu.data.transforms import augment_case_np
+
+    image = rng.normal(size=(8, 8, 4, 1)).astype(np.float32)
+    label = np.zeros((8, 8, 4), np.int32)
+    aug = _base_aug(p_gaussian_smooth=1.0, gaussian_smooth_sigma=[0.5, 1.0])
+    img_out, _ = augment_case_np(image, label, 0, aug)
+    tv = lambda x: np.abs(np.diff(x[..., 0], axis=0)).mean()
+    assert tv(img_out) < 0.6 * tv(image)
+
+
+def test_validate_config_rejects_unknown_aug_keys():
+    import pytest
+
+    from transoar_tpu.utils.io import validate_config
+
+    cfg = {"neck": {"name": "detr", "num_queries": 12, "num_organs": 3},
+           "backbone": {}, "loss_coefs": {},
+           "augmentation": {"p_gaussian_smooth": 0.2,
+                            "p_made_up_transform": 0.5}}
+    with pytest.raises(ValueError, match="p_made_up_transform"):
+        validate_config(cfg)

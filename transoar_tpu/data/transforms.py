@@ -144,13 +144,45 @@ def affine_resample(volume, matrix, offset, order):
     return out.reshape(shape).astype(volume.dtype)
 
 
+def gaussian_smooth(image, sigmas, radius):
+    """Separable 3D gaussian blur with zero padding (the MONAI
+    ``RandGaussianSmoothd``/``GaussianSmooth`` convention, reference
+    transforms.py:144-149). ``sigmas`` [3] may be traced; ``radius`` is the
+    static kernel half-width (taps beyond ~4 sigma are negligible)."""
+    offs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    for axis in range(3):
+        w = jnp.exp(-0.5 * (offs / jnp.maximum(sigmas[axis], 1e-6)) ** 2)
+        w = w / w.sum()
+        pad = [(radius, radius) if i == axis else (0, 0)
+               for i in range(image.ndim)]
+        padded = jnp.pad(image, pad)
+        out = jnp.zeros_like(image)
+        for k in range(2 * radius + 1):
+            sl = [slice(None)] * image.ndim
+            sl[axis] = slice(k, k + image.shape[axis])
+            out = out + w[k] * padded[tuple(sl)]
+        image = out
+    return image
+
+
 def intensity_augment(key, image, aug):
-    keys = jax.random.split(key, 8)
+    keys = jax.random.split(key, 10)
 
     do_noise = jax.random.uniform(keys[0]) < aug.get("p_gaussian_noise", 0.0)
     noise = jax.random.normal(keys[1], image.shape) * \
         aug.get("gaussian_noise_std", 0.1) + aug.get("gaussian_noise_mean", 0)
     image = jnp.where(do_noise, image + noise, image)
+
+    # gaussian smooth, per-axis sigma ~ U(range) (reference transforms.py:144)
+    p_smooth = aug.get("p_gaussian_smooth", 0.0)
+    if p_smooth > 0.0:
+        sig = aug.get("gaussian_smooth_sigma", (0.5, 1.0))
+        do_smooth = jax.random.uniform(keys[8]) < p_smooth
+        sigmas = jax.random.uniform(keys[9], (3,), minval=sig[0],
+                                    maxval=sig[1])
+        radius = max(1, int(round(4 * float(sig[1]))))
+        image = jnp.where(do_smooth, gaussian_smooth(image, sigmas, radius),
+                          image)
 
     do_scale = jax.random.uniform(keys[2]) < aug.get("p_intensity_scale", 0.0)
     f = aug.get("intensity_scale_factors", 0.1)
@@ -283,6 +315,12 @@ def augment_case_np(image, label, seed, aug, intensity_stats=None):
         img = img + rng.normal(aug.get("gaussian_noise_mean", 0.0),
                                aug.get("gaussian_noise_std", 0.1),
                                img.shape).astype(np.float32)
+    if rng.uniform() < aug.get("p_gaussian_smooth", 0.0):
+        sig = aug.get("gaussian_smooth_sigma", (0.5, 1.0))
+        sigmas = rng.uniform(sig[0], sig[1], 3)
+        # zero padding to match the device path / MONAI's conv convention
+        img = ndimage.gaussian_filter(img, sigma=sigmas, mode="constant",
+                                      cval=0.0, truncate=4.0)
     if rng.uniform() < aug.get("p_intensity_scale", 0.0):
         f = aug.get("intensity_scale_factors", 0.1)
         img = img * (1.0 + rng.uniform(-f, f))

@@ -21,6 +21,7 @@ from typing import Any, Dict
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from transoar_tpu.models.layers import EncoderCnnBlock
 from transoar_tpu.ops.conv3d import FastConv3D, FastConvTranspose3D
@@ -66,13 +67,22 @@ class Encoder(nn.Module):
                 from transoar_tpu.models.swin import EncoderSwinBlock
 
                 swin_cfg = cfg["swin"]
+                # stochastic-depth schedule: rates increase linearly with
+                # block index across ALL swin blocks; each stage takes its
+                # slice (reference attn_fpn.py:162,183).
+                depths = swin_cfg["depths"]
+                dpr = np.linspace(
+                    0.0, float(swin_cfg.get("drop_path_rate", 0.0)),
+                    sum(depths)).tolist()
+                lo = sum(depths[:stage - 2])
                 x = EncoderSwinBlock(
-                    depth=swin_cfg["depths"][stage - 2],
+                    depth=depths[stage - 2],
                     num_heads=swin_cfg["num_heads"][stage - 2],
                     window_size=tuple(swin_cfg["window_size"]),
                     mlp_ratio=swin_cfg["mlp_ratio"],
                     qkv_bias=swin_cfg["qkv_bias"],
                     conv_merging=swin_cfg.get("conv_merging", False),
+                    drop_path=tuple(dpr[lo:lo + depths[stage - 2]]),
                     dtype=self.dtype,
                     name=f"stage{stage}",
                 )(x, deterministic=deterministic)

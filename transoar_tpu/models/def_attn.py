@@ -13,9 +13,10 @@ TPU-native re-design of:
   learned level embeddings, per-voxel reference points, N layers of
   deformable self-attention + FFN.
 
-The sampling core is ``transoar_tpu.ops.deformable_attention`` (XLA gathers;
-Pallas variant in ``transoar_tpu.ops.pallas``) instead of the reference's
-2.2k-line CUDA extension.
+The sampling core is ``transoar_tpu.ops.deformable_attention`` — an XLA
+gather formulation replacing the reference's 2.2k-line CUDA extension. (A
+Pallas kernel is infeasible on this toolchain: vector gathers do not lower;
+see PERFORMANCE.md.)
 """
 
 from __future__ import annotations

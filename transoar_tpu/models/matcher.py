@@ -8,7 +8,7 @@ class, the whole matching is a ``[B, organs, qpo]`` argmin — here it is one
 fused XLA computation inside the jitted train step, no host sync.
 
 Targets are fixed-shape: ``boxes [B, organs, 6]`` (cxcyczwhd) +
-``present [B, organs]`` bool (替换 the reference's ragged
+``present [B, organs]`` bool (replacing the reference's ragged
 ``List[{label: box}]``, matcher.py:35).
 
 Semantics mirrored exactly (matcher.py:49-63):

@@ -144,6 +144,7 @@ class SwinBlock(nn.Module):
     shift: bool
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
+    drop_path: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -178,7 +179,18 @@ class SwinBlock(nn.Module):
             x = jnp.roll(x, shift=ss, axis=(1, 2, 3))
         x = x[:, :D, :H, :W]
 
-        x = shortcut + x
+        # stochastic depth on both residual branches (reference
+        # encoder_blocks.py:155,203,208 — timm DropPath): per-sample mask
+        # broadcast over all non-batch dims, scaled 1/keep when kept.
+        def droppath(branch):
+            if self.drop_path <= 0.0:
+                return branch
+            return nn.Dropout(
+                self.drop_path,
+                broadcast_dims=tuple(range(1, branch.ndim)))(
+                    branch, deterministic=deterministic)
+
+        x = shortcut + droppath(x)
 
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
@@ -186,7 +198,7 @@ class SwinBlock(nn.Module):
         h = nn.gelu(h)
         h = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
                      name="mlp2")(h)
-        return x + h
+        return x + droppath(h)
 
 
 class PatchMerging(nn.Module):
@@ -235,15 +247,18 @@ class EncoderSwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     conv_merging: bool = False
+    drop_path: Sequence[float] = ()
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, deterministic=True):
         C = x.shape[-1]
         for i in range(self.depth):
+            rate = self.drop_path[i] if i < len(self.drop_path) else 0.0
             x = SwinBlock(C, self.num_heads, tuple(self.window_size),
                           shift=(i % 2 == 1), mlp_ratio=self.mlp_ratio,
-                          qkv_bias=self.qkv_bias, dtype=self.dtype,
+                          qkv_bias=self.qkv_bias, drop_path=float(rate),
+                          dtype=self.dtype,
                           name=f"block{i}")(x, deterministic=deterministic)
         merging = ConvPatchMerging if self.conv_merging else PatchMerging
         return merging(C, dtype=self.dtype, name="merge")(x)

@@ -76,6 +76,17 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return out
 
 
+def shard_stacked_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a K-stacked host batch dict [K, B, ...] onto the mesh: the scan
+    axis K is replicated, batch over dp, the image's leading spatial axis
+    over sp (the stacked twin of ``shard_batch``)."""
+    out = {}
+    for key, value in batch.items():
+        spec = P(None, "dp", "sp") if key == "image" else P(None, "dp")
+        out[key] = jax.device_put(value, NamedSharding(mesh, spec))
+    return out
+
+
 def pad_batch_to(batch: dict, batch_size: int) -> tuple[dict, np.ndarray]:
     """Pad a possibly short host batch to the static batch size.
 

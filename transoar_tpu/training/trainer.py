@@ -265,9 +265,10 @@ class Trainer:
                     stacked = {
                         key: np.stack([b[key] for b in pending])
                         for key in ("image", "seg")}
-                    device_batch = {
-                        key: jax.device_put(val)
-                        for key, val in stacked.items()}
+                    # mesh-aware placement — bare device_put would fight the
+                    # replicated out_shardings on a dp/sp>1 mesh
+                    device_batch = mesh_lib.shard_stacked_batch(
+                        stacked, self._mesh)
                     self.state, losses = self._multi_train_step(
                         self.state, device_batch, self._rng)
                     step_losses.append(losses)  # [K, ...] per key

@@ -82,6 +82,24 @@ def validate_config(config):
         if qpo not in (1, 7, 27, 54):
             raise ValueError(
                 f"queries per organ must be in (1, 7, 27, 54), got {qpo}")
+    # Reject augmentation keys nothing consumes — silent dead config keys
+    # (a p_* with no implementation) are worse than a hard error.
+    known_aug = {
+        "use_augmentation", "on_device", "patch_size",
+        "p_gaussian_noise", "gaussian_noise_mean", "gaussian_noise_std",
+        "p_gaussian_smooth", "gaussian_smooth_sigma",
+        "p_intensity_scale", "intensity_scale_factors",
+        "p_intensity_shift", "intensity_shift_offsets",
+        "p_adjust_contrast", "adjust_contrast_gamma",
+        "p_rotate", "rotation", "p_zoom", "min_zoom", "max_zoom",
+        "p_shear", "shear_range", "p_translate", "translate_percentage",
+        "p_flip", "flip_axis",
+    }
+    unknown = set(config.get("augmentation", {})) - known_aug
+    if unknown:
+        raise ValueError(
+            f"unknown augmentation config keys (nothing consumes them): "
+            f"{sorted(unknown)}")
     return config
 
 
