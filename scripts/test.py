@@ -117,13 +117,14 @@ class Tester:
                     boxes[0], classes[0], scores[0], tgt_boxes[present],
                     np.nonzero(present)[0] + 1, np.asarray(batch["seg"])[0],
                     pred_dir, int(batch["index"][0]))
-            if self._args.save_attn_map and "attn_weights" in out:
+            if self._args.save_attn_map and out.get("attn_weights") is not None:
                 from transoar_tpu.utils.visualization import \
                     save_attn_visualization
 
                 save_attn_visualization(
-                    np.asarray(out["attn_weights"], np.float32),
-                    self._config, attn_dir, int(batch["index"][0]))
+                    jax.device_get(out), self._config, attn_dir,
+                    int(batch["index"][0]),
+                    seg=np.asarray(batch["seg"])[0])
 
         scores_dict = self._evaluator.eval()
         write_json(scores_dict,

@@ -10,8 +10,11 @@ from transoar_tpu.ops.conv3d import (FastConv3D, FastConvTranspose3D, conv3d,
 
 
 def _ref_conv3d(x, w, strides):
+    # torch-style symmetric padding (k - 1) // 2 per side (matches the
+    # reference's Conv3d(padding=1); differs from XLA SAME at stride 2)
+    pads = [((k - 1) // 2, (k - 1) // 2) for k in w.shape[:3]]
     return jax.lax.conv_general_dilated(
-        x, w, strides, "SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        x, w, strides, pads, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
 @pytest.mark.parametrize("shape,kernel,strides", [

@@ -69,14 +69,16 @@ def generate_anchors(neck_config, bbox_props):
         if qpo == 1:
             offsets = np.zeros((1, 3))
         elif qpo == 7:
-            # Zero offset + one positive/negative offset per axis — the
-            # reference filters the 27-cartesian by count_nonzero <= 1
-            # (transoarnet.py:92), which over-selects when an axis spread is
-            # exactly 0; building the 7 patterns structurally is robust.
+            # One positive/negative offset per axis, zero offset LAST — the
+            # exact encounter order of the reference's 27-cartesian filtered
+            # by count_nonzero <= 1 (transoarnet.py:92): (+x, -x, +y, -y,
+            # +z, -z, 0). Built structurally (the filter over-selects when
+            # an axis spread is exactly 0), order verified against the
+            # reference in tests/test_model_parity.py.
             offsets = np.zeros((7, 3))
             for axis in range(3):
-                offsets[1 + 2 * axis, axis] = per_axis[0, axis]
-                offsets[2 + 2 * axis, axis] = per_axis[1, axis]
+                offsets[2 * axis, axis] = per_axis[0, axis]
+                offsets[1 + 2 * axis, axis] = per_axis[1, axis]
         else:  # 27 (or 54 via later duplication — not used by shipped configs)
             offsets = _cartesian_offsets(per_axis)
 

@@ -211,7 +211,11 @@ class FocusedDecoderLayer(nn.Module):
         q = tgt + query_pos
         sa = MultiHeadSelfAttention(
             self.num_heads, dropout=self.dropout, dtype=self.dtype,
-            name="self_attn")(q, q, tgt, deterministic=deterministic)
+            name="self_attn")(q, q, tgt, deterministic=deterministic,
+                              return_weights=return_weights)
+        self_weights = None
+        if return_weights:
+            sa, self_weights = sa
         tgt = tgt + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm_sa")(tgt)
 
@@ -228,7 +232,7 @@ class FocusedDecoderLayer(nn.Module):
         tgt = FFN(self.dim_feedforward, dropout=self.dropout,
                   dtype=self.dtype, name="ffn")(tgt,
                                                 deterministic=deterministic)
-        return tgt, weights
+        return tgt, weights, self_weights
 
 
 class FocusedDecoder(nn.Module):
@@ -280,7 +284,7 @@ class FocusedDecoder(nn.Module):
         intermediate = []
         weights = None
         for i in range(cfg["dec_layers"]):
-            tgt, w = layer_cls(
+            tgt, w, sw = layer_cls(
                 num_heads=cfg["nheads"],
                 num_organs=cfg["num_organs"],
                 dim_feedforward=cfg["dim_feedforward"],
@@ -291,7 +295,9 @@ class FocusedDecoder(nn.Module):
                     tgt, query_pos, src, pos, bias, roi, deterministic,
                     return_weights and i == cfg["dec_layers"] - 1)
             if w is not None:
-                weights = w
+                # last layer's cross + self attn, like the reference's hooks
+                # on decoder.layers[-1] (reference scripts/test.py:74-84)
+                weights = {"cross": w, "self": sw}
             intermediate.append(tgt)
 
         return jnp.stack(intermediate), weights

@@ -148,7 +148,11 @@ class MultiHeadSelfAttention(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, q, k, v, deterministic=True):
+    def __call__(self, q, k, v, deterministic=True, return_weights=False):
+        """Returns the output, or (output, head-averaged weights [B, Q, K])
+        when ``return_weights`` — matching torch MultiheadAttention's
+        ``(out, weights)`` convention the reference hooks for attention-map
+        export (reference scripts/test.py:81-84)."""
         d_model = q.shape[-1]
         head_dim = d_model // self.num_heads
 
@@ -165,5 +169,8 @@ class MultiHeadSelfAttention(nn.Module):
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
         out = out.reshape(*out.shape[:-2], d_model)
-        return nn.Dense(d_model, dtype=self.dtype, param_dtype=jnp.float32,
-                        kernel_init=xavier_uniform, name="out_proj")(out)
+        out = nn.Dense(d_model, dtype=self.dtype, param_dtype=jnp.float32,
+                       kernel_init=xavier_uniform, name="out_proj")(out)
+        if return_weights:
+            return out, attn.astype(jnp.float32).mean(axis=1)
+        return out

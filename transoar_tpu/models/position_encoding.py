@@ -37,10 +37,13 @@ def sine_position_encoding(spatial_shape, channels, temperature=10000.0,
         # (position_encoding.py:36-38): (i + 1 - 0.5) / size * scale.
         grid = (np.arange(size, dtype=np.float64) + 0.5) / size * scale
         pos = grid[:, None] / dim_t[None, :]
-        # interleave sin of even channels with cos of odd channels
-        out = np.empty((size, per_axis), dtype=np.float64)
-        out[:, 0::2] = np.sin(pos[:, 0::2])
-        out[:, 1::2] = np.cos(pos[:, 1::2])
+        # Reference channel layout per axis (position_encoding.py:46-48):
+        # ``stack((sin(even), cos(odd)), dim=4).flatten(4)`` stacks the two
+        # halves BLOCK-wise, not interleaved — the per-axis channels are
+        # [sin(p0), sin(p2), ..., cos(p1), cos(p3), ...]. Verified against
+        # the imported reference module in tests/test_model_parity.py.
+        out = np.concatenate(
+            [np.sin(pos[:, 0::2]), np.cos(pos[:, 1::2])], axis=-1)
         return out
 
     s0, s1, s2 = spatial_shape

@@ -211,8 +211,11 @@ class PatchMerging(nn.Module):
         B, D, H, W, C = x.shape
         pad = [(0, D % 2), (0, H % 2), (0, W % 2)]
         x = jnp.pad(x, [(0, 0)] + pad + [(0, 0)])
+        # concat order matches the reference's x0..x7 (encoder_blocks.py:
+        # 319-329): d outer, then (h, w) in order (0,0),(1,0),(0,1),(1,1) —
+        # matters for porting reference weights of the following Linear
         parts = [x[:, d::2, h::2, w::2]
-                 for d in (0, 1) for h in (0, 1) for w in (0, 1)]
+                 for d in (0, 1) for w in (0, 1) for h in (0, 1)]
         x = jnp.concatenate(parts, axis=-1)
         x = nn.LayerNorm(dtype=self.dtype)(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,

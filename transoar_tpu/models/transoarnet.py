@@ -149,7 +149,16 @@ class TransoarNet(nn.Module):
                 name="seg_head")(seg_src).astype(jnp.float32)
 
         if return_weights:
-            out["attn_weights"] = weights
+            # parity with the reference's --save_attn_map hooks (reference
+            # scripts/test.py:74-84): last decoder layer's cross- AND
+            # self-attention plus the backbone out-conv feature map
+            if isinstance(weights, dict):
+                out["attn_weights"] = weights.get("cross")
+                out["self_attn_weights"] = weights.get("self")
+            else:
+                out["attn_weights"] = weights
+            if neck_name != "def_detr":
+                out["backbone_fmap"] = det_src.astype(jnp.float32)
         return out
 
 

@@ -25,25 +25,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def conv3d(x, w, strides=(1, 1, 1), padding="SAME"):
+def conv3d(x, w, strides=(1, 1, 1), padding="TORCH"):
     """3D convolution via depth-decomposition.
 
     x: [B, D, H, W, C]; w: [KD, KH, KW, C, F]; returns [B, D', H', W', F].
-    Only SAME padding is supported (what the framework uses).
+
+    Padding is torch-style symmetric ``(k - 1) // 2`` per side (the
+    reference's ``Conv3d(padding=1)``, encoder_blocks.py:28-45) — identical
+    to XLA SAME at stride 1 but alignment-matched to torch at stride 2
+    (SAME pads (0, 1) where torch pads (1, 1), shifting every strided
+    feature map by one voxel).
     """
-    if padding != "SAME":
-        raise NotImplementedError("conv3d supports SAME padding only")
+    if padding != "TORCH":
+        raise NotImplementedError("conv3d supports torch-style padding only")
     B, D, H, W, C = x.shape
     KD, KH, KW, C_in, F = w.shape
     assert C == C_in, (C, C_in)
     sd, sh, sw = strides
 
-    # SAME padding along depth
-    pad_total = max((-(-D // sd) - 1) * sd + KD - D, 0)
-    pad_lo = pad_total // 2
-    pad_hi = pad_total - pad_lo
-    xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0), (0, 0), (0, 0)))
-    D_out = -(-D // sd)
+    pd, ph, pw = (KD - 1) // 2, (KH - 1) // 2, (KW - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (pd, pd), (0, 0), (0, 0), (0, 0)))
+    D_out = (D + 2 * pd - KD) // sd + 1
 
     # stack the KD depth taps into channels: [B, D_out, H, W, KD * C]
     taps = [
@@ -55,39 +57,41 @@ def conv3d(x, w, strides=(1, 1, 1), padding="SAME"):
     # one 2D conv over (H, W) with the taps folded into input channels
     w2 = jnp.transpose(w, (1, 2, 0, 3, 4)).reshape(KH, KW, KD * C, F)
     out = jax.lax.conv_general_dilated(
-        xz.reshape(B * D_out, H, W, KD * C), w2, (sh, sw), "SAME",
+        xz.reshape(B * D_out, H, W, KD * C), w2, (sh, sw),
+        ((ph, ph), (pw, pw)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype)
-    H_out = -(-H // sh)
-    W_out = -(-W // sw)
+    H_out = (H + 2 * ph - KH) // sh + 1
+    W_out = (W + 2 * pw - KW) // sw + 1
     return out.reshape(B, D_out, H_out, W_out, F)
 
 
-def conv3d_split(x, w, strides=(1, 1, 1), padding="SAME"):
+def conv3d_split(x, w, strides=(1, 1, 1), padding="TORCH"):
     """Depth decomposition variant: one 2D conv PER depth tap (separate
     kernels, separate outputs) + depth-shifted accumulation.
 
     Avoids all lane-dimension concats/slices — the depth shifts slice the
     leading (non-lane) spatial axis. Candidate replacement for ``conv3d``;
     which one wins depends on XLA's fusion decisions, so both are kept and
-    selected by ``FastConv3D.variant``.
+    selected by ``FastConv3D.variant``. Torch-style symmetric padding (see
+    ``conv3d``).
     """
-    if padding != "SAME":
+    if padding != "TORCH":
         raise NotImplementedError
     B, D, H, W, C = x.shape
     KD, KH, KW, _, F = w.shape
     sd, sh, sw = strides
-    D_out = -(-D // sd)
-    H_out = -(-H // sh)
-    W_out = -(-W // sw)
-    pad_total = max((D_out - 1) * sd + KD - D, 0)
-    pad_lo = pad_total // 2
+    ph, pw = (KH - 1) // 2, (KW - 1) // 2
+    pad_lo = (KD - 1) // 2
+    D_out = (D + 2 * pad_lo - KD) // sd + 1
+    H_out = (H + 2 * ph - KH) // sh + 1
+    W_out = (W + 2 * pw - KW) // sw + 1
 
     xb = x.reshape(B * D, H, W, C)
     out = None
     for kd in range(KD):
         y = jax.lax.conv_general_dilated(
-            xb, w[kd], (sh, sw), "SAME",
+            xb, w[kd], (sh, sw), ((ph, ph), (pw, pw)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=x.dtype)
         y = y.reshape(B, D, H_out, W_out, F)

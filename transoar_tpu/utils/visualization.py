@@ -104,32 +104,97 @@ def save_pred_visualization(pred_boxes, pred_classes, pred_scores, gt_boxes,
                  out_dir / f"case_{case_id}_gt.ply", [0, 255, 0])
 
 
-def save_attn_visualization(attn_weights, config, out_dir, case_id):
-    """Export mean-over-heads cross-attention of each organ's best query as
-    mid-axial PNG slices.
+def _red_alpha_png(alpha_2d, path):
+    """RGBA PNG with solid red and the given [H, W] 0-255 alpha — the
+    reference's cv2.merge((0, 0, 255, alpha)) export format
+    (visualization.py:241-247,318-324)."""
+    from PIL import Image
 
-    attn_weights: [B, heads, Q, S] over the flattened input level.
+    alpha = np.clip(alpha_2d, 0, 255).astype(np.uint8)
+    rgba = np.zeros((*alpha.shape, 4), np.uint8)
+    rgba[..., 0] = 255
+    rgba[..., 3] = alpha
+    Image.fromarray(rgba, "RGBA").save(path)
+
+
+def save_attn_visualization(model_out, config, out_dir, case_id, seg=None,
+                            mean_attn=True):
+    """Per-organ attention-map export, mirroring reference
+    ``save_attn_visualization`` (visualization.py:222-308):
+
+    - decoder SELF-attention [Q, Q] block-summed per organ ->
+      ``case{id}_cdist.png`` (organ-by-organ affinity, red-alpha, 1000x1000);
+    - decoder CROSS-attention of each organ's best-scoring query, reshaped
+      to the feature-map grid, upsampled to the volume shape, exported as
+      every-5th-frame red-alpha overlays next to recolored segmentation
+      frames (own organ 240, other organs 50) under ``class<k>/``.
+
+    model_out: dict with ``attn_weights`` [B, H, Q, S],
+    ``self_attn_weights`` [B, Q, Q], ``pred_logits`` [B, Q, 1];
+    seg: [S0, S1, S2] int labels of the case (optional).
     """
     from PIL import Image
+    from scipy import ndimage
 
     from transoar_tpu.models.focused_decoder import level_spatial_shape
 
-    out_dir = Path(out_dir)
+    out_dir = Path(out_dir) / f"case{case_id}"
     out_dir.mkdir(parents=True, exist_ok=True)
 
     neck = config["neck"]
-    shape = level_spatial_shape(config["augmentation"]["patch_size"],
-                                int(neck["input_levels"][-1]))
+    patch = config["augmentation"]["patch_size"]
+    shape = level_spatial_shape(patch, int(neck["input_levels"][-1]))
     num_organs = neck["num_organs"]
     qpo = neck["num_queries"] // num_organs
 
-    attn = np.asarray(attn_weights[0], np.float32).mean(0)  # [Q, S]
+    # --- self-attention organ affinity (visualization.py:231-247) ---
+    self_w = model_out.get("self_attn_weights")
+    if self_w is not None:
+        sw = np.asarray(self_w[0], np.float32)  # [Q, Q]
+        blocks = sw.reshape(num_organs, qpo, num_organs, qpo).sum((1, 3))
+        lo, hi = blocks.min(), blocks.max()
+        blocks = (blocks - lo) / (hi - lo + 1e-12) * 255
+        img = np.asarray(Image.fromarray(blocks.astype(np.uint8)).resize(
+            (1000, 1000), Image.NEAREST))
+        _red_alpha_png(img, out_dir / f"case{case_id}_cdist.png")
+
+    # --- cross-attention overlays (visualization.py:250-308) ---
+    attn = np.asarray(model_out["attn_weights"][0], np.float32).mean(0)
     attn = attn.reshape(num_organs, qpo, *shape)
+    logits = np.asarray(model_out["pred_logits"][0], np.float32)
+    logits = logits.reshape(num_organs, qpo)
 
     for organ in range(num_organs):
-        vol = attn[organ].mean(0)  # mean over the organ's queries
-        mid = vol[:, :, vol.shape[2] // 2]
-        mid = mid / (mid.max() + 1e-12)
-        img = Image.fromarray((mid * 255).astype(np.uint8))
-        img = img.resize((256, 256), Image.NEAREST)
-        img.save(out_dir / f"case_{case_id}_organ_{organ + 1}.png")
+        best = int(np.argmax(logits[organ]))
+        vol = attn[organ, best]
+        zoom = [p / s for p, s in zip(patch, vol.shape)]
+        vol = ndimage.zoom(vol, zoom, order=1)
+        lo, hi = vol.min(), vol.max()
+        vol = (vol - lo) / (hi - lo + 1e-12) * 255
+        # frames along axis 1, like the reference's permute (1, 0, 2)
+        vol = np.transpose(vol, (1, 0, 2))
+
+        organ_dir = out_dir / f"class{organ + 1}"
+        organ_dir.mkdir(exist_ok=True)
+
+        seg_frames = None
+        if seg is not None:
+            seg_r = np.asarray(seg).astype(np.int16).copy()
+            own = seg_r == organ + 1
+            seg_r[(seg_r > 0) & ~own] = 50
+            seg_r[own] = 240
+            seg_frames = np.transpose(seg_r, (1, 0, 2))
+
+        if mean_attn:
+            frame = vol.mean(axis=0)
+            lo, hi = frame.min(), frame.max()
+            frame = (frame - lo) / (hi + 1e-12) * 255
+
+        for idx in range(0, vol.shape[0], 5):
+            attn_frame = frame if mean_attn else vol[idx]
+            _red_alpha_png(attn_frame, organ_dir / f"frame{idx}_attn.png")
+            if seg_frames is not None:
+                rgb = np.repeat(
+                    seg_frames[idx].astype(np.uint8)[..., None], 3, -1)
+                Image.fromarray(rgb, "RGB").save(
+                    organ_dir / f"frame{idx}_seg.png")
