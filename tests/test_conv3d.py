@@ -129,3 +129,64 @@ def test_fastconv3d_patch_path(rng):
     bias = params["params"]["bias"]
     ref = _ref_conv3d(x, kernel, (2, 2, 2)) + bias
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_conv3d_native_matches_ref(rng):
+    from transoar_tpu.ops.conv3d import conv3d_native
+
+    for shape, strides in [((1, 8, 8, 6, 3), (1, 1, 1)),
+                           ((2, 9, 7, 5, 4), (2, 2, 2))]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, shape[-1], 5)).astype(
+            np.float32))
+        np.testing.assert_allclose(
+            np.asarray(conv3d_native(x, w, strides)),
+            np.asarray(_ref_conv3d(x, w, strides)), atol=1e-4)
+
+
+def test_fastconv3d_auto_variants_agree(rng):
+    # the auto policy (native for strided, stack/split for stride-1) must
+    # produce the same numbers as every explicit variant
+    import os
+
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 6, 4)).astype(np.float32))
+    outs = {}
+    for variant in ("auto", "native", "stack", "split"):
+        os.environ["TRANSOAR_CONV3D"] = variant
+        try:
+            conv = FastConv3D(5, (3, 3, 3), (2, 2, 2), dtype=jnp.float32)
+            params = conv.init(jax.random.key(0), x)
+            outs[variant] = np.asarray(conv.apply(params, x))
+        finally:
+            del os.environ["TRANSOAR_CONV3D"]
+    for variant, out in outs.items():
+        np.testing.assert_allclose(out, outs["auto"], atol=1e-4,
+                                   err_msg=variant)
+
+
+def test_conv3d_parity_matches_ref(rng):
+    from transoar_tpu.ops.conv3d import conv3d_parity
+
+    for shape, strides in [((1, 8, 8, 6, 3), (2, 2, 2)),
+                           ((2, 10, 7, 5, 4), (2, 2, 2)),
+                           ((1, 8, 8, 8, 2), (2, 1, 1))]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, shape[-1], 5)).astype(
+            np.float32))
+        np.testing.assert_allclose(
+            np.asarray(conv3d_parity(x, w, strides)),
+            np.asarray(_ref_conv3d(x, w, strides)), atol=1e-4,
+            err_msg=f"{shape} {strides}")
+
+
+def test_conv3d_parity_gradients_match(rng):
+    from transoar_tpu.ops.conv3d import conv3d_parity
+
+    x = jnp.asarray(rng.normal(size=(1, 8, 6, 4, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 4)).astype(np.float32))
+    g_ours = jax.grad(lambda x, w: (conv3d_parity(x, w, (2, 2, 2)) ** 2
+                                    ).sum(), argnums=(0, 1))(x, w)
+    g_ref = jax.grad(lambda x, w: (_ref_conv3d(x, w, (2, 2, 2)) ** 2).sum(),
+                     argnums=(0, 1))(x, w)
+    for a, b in zip(g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)

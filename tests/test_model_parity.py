@@ -77,23 +77,32 @@ def _import_reference():
 
 def _ref_config(cfg):
     """Reference-format config dict from our tiny config."""
-    num_stages = cfg["backbone"]["num_stages"]
+    bb = cfg["backbone"]
+    num_stages = bb["num_stages"]
+    swin = bb.get("swin", {})
     return {
         "backbone": {
-            "in_channels": cfg["backbone"]["in_channels"],
-            "start_channels": cfg["backbone"]["start_channels"],
+            "in_channels": bb["in_channels"],
+            "start_channels": bb["start_channels"],
             "conv_kernels": [3] * num_stages,
-            "strides": cfg["backbone"]["strides"],
-            "fpn_channels": cfg["backbone"]["fpn_channels"],
-            "out_fmaps": cfg["backbone"]["out_fmaps"],
+            "strides": bb["strides"],
+            "fpn_channels": bb["fpn_channels"],
+            "out_fmaps": bb["out_fmaps"],
             "feature_levels": [],
-            "use_encoder_attn": False,
+            "use_encoder_attn": bb.get("use_encoder_attn", False),
             "use_decoder_attn": False,
-            "use_seg_proxy_loss": cfg["backbone"]["use_seg_proxy_loss"],
-            "fg_bg": cfg["backbone"]["fg_bg"],
-            "depths": [1, 1],
-            "drop_path_rate": 0.0,
-            "conv_merging": False,
+            "use_seg_proxy_loss": bb["use_seg_proxy_loss"],
+            "fg_bg": bb["fg_bg"],
+            "depths": list(swin.get("depths", [1, 1])),
+            "num_heads": list(swin.get("num_heads", [2, 2])),
+            "window_size": tuple(swin.get("window_size", (2, 2, 2))),
+            "mlp_ratio": swin.get("mlp_ratio", 4),
+            "qkv_bias": swin.get("qkv_bias", True),
+            "qk_scale": None,
+            "drop_rate": 0.0,
+            "attn_drop_rate": 0.0,
+            "drop_path_rate": swin.get("drop_path_rate", 0.0),
+            "conv_merging": swin.get("conv_merging", False),
         },
         "neck": dict(cfg["neck"]),
         "bbox_properties": cfg["bbox_properties"],
@@ -135,6 +144,36 @@ def _lin(w):  # torch Linear [out, in] -> flax kernel [in, out]
     return np.ascontiguousarray(w.T)
 
 
+def _map_swin_stage(sd, st, p):
+    """Map a reference EncoderSwinBlock (encoder_blocks.py:56-121) onto our
+    stage subtree: SwinBlocks (window attention + rel-pos bias + MLP) and
+    the PatchMerging downsample."""
+    j = 0
+    while f"{p}.blocks.{j}.norm1.weight" in sd:
+        blk = st[f"block{j}"]
+        q = f"{p}.blocks.{j}."
+        blk["norm1"]["scale"] = sd[q + "norm1.weight"]
+        blk["norm1"]["bias"] = sd[q + "norm1.bias"]
+        blk["attn"]["rel_pos_bias"] = sd[q +
+                                         "attn.relative_position_bias_table"]
+        blk["attn"]["qkv"]["kernel"] = _lin(sd[q + "attn.qkv.weight"])
+        if q + "attn.qkv.bias" in sd:
+            blk["attn"]["qkv"]["bias"] = sd[q + "attn.qkv.bias"]
+        blk["attn"]["proj"]["kernel"] = _lin(sd[q + "attn.proj.weight"])
+        blk["attn"]["proj"]["bias"] = sd[q + "attn.proj.bias"]
+        blk["norm2"]["scale"] = sd[q + "norm2.weight"]
+        blk["norm2"]["bias"] = sd[q + "norm2.bias"]
+        blk["mlp1"]["kernel"] = _lin(sd[q + "mlp.fc1.weight"])
+        blk["mlp1"]["bias"] = sd[q + "mlp.fc1.bias"]
+        blk["mlp2"]["kernel"] = _lin(sd[q + "mlp.fc2.weight"])
+        blk["mlp2"]["bias"] = sd[q + "mlp.fc2.bias"]
+        j += 1
+    st["merge"]["LayerNorm_0"]["scale"] = sd[f"{p}.downsample.norm.weight"]
+    st["merge"]["LayerNorm_0"]["bias"] = sd[f"{p}.downsample.norm.bias"]
+    st["merge"]["Dense_0"]["kernel"] = _lin(
+        sd[f"{p}.downsample.reduction.weight"])
+
+
 def _map_weights(ref, params, cfg):
     """Copy the torch state dict onto our param tree."""
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
@@ -145,6 +184,9 @@ def _map_weights(ref, params, cfg):
 
     for i in range(cfg["backbone"]["num_stages"]):
         st = new["backbone"]["encoder"][f"stage{i}"]
+        if f"_backbone._encoder._stages.{i}.blocks.0.norm1.weight" in sd:
+            _map_swin_stage(sd, st, f"_backbone._encoder._stages.{i}")
+            continue
         p = f"_backbone._encoder._stages.{i}._block"
         st["ConvInReLU_0"]["FastConv3D_0"]["kernel"] = _conv(
             sd[f"{p}.0.weight"])
@@ -221,11 +263,18 @@ def _map_weights(ref, params, cfg):
     return jax.tree.map(jnp.asarray, new)
 
 
-def _setup(seg_proxy=False):
+def _setup(seg_proxy=False, use_swin=False):
     from transoar_tpu.models.focused_decoder import level_spatial_shape
 
     cfg = tiny_config(num_organs=3, qpo=7, precision="float32",
                       seg_proxy=seg_proxy)
+    if use_swin:
+        cfg["backbone"]["use_encoder_attn"] = True
+        cfg["backbone"]["swin"] = {
+            "depths": [2, 2], "num_heads": [2, 4],
+            "window_size": [4, 4, 4], "mlp_ratio": 2, "qkv_bias": True,
+            "drop_path_rate": 0.0, "conv_merging": False,
+        }
     patch = cfg["augmentation"]["patch_size"]
     level = int(cfg["neck"]["input_levels"][-1])
     tiny_shape = level_spatial_shape(patch, level)
@@ -282,6 +331,19 @@ def test_full_model_forward_parity():
         np.testing.assert_allclose(
             np.asarray(ours["aux_boxes"][i]), aux["pred_boxes"].numpy(),
             atol=2e-5)
+
+
+def test_swin_fpn_forward_parity():
+    """SwinFPN variant (use_encoder_attn): window attention, relative
+    position bias, shifted-window masks, and patch merging against the
+    reference EncoderSwinBlock (encoder_blocks.py:56-400)."""
+    cfg, ref, model, ref_out, ours = _setup(use_swin=True)
+    np.testing.assert_allclose(
+        np.asarray(ours["pred_logits"]), ref_out["pred_logits"].numpy(),
+        atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(ours["pred_boxes"]), ref_out["pred_boxes"].numpy(),
+        atol=5e-5)
 
 
 def _targets(cfg, batch=2, seed=4):

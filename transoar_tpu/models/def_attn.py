@@ -140,7 +140,7 @@ class DefAttnLayer(nn.Module):
             src + pos, ref_pts, src, spatial_shapes)
         src = src + nn.Dropout(self.dropout)(attn,
                                              deterministic=deterministic)
-        src = nn.LayerNorm(dtype=self.dtype)(src)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(src)
         return FFN(self.dim_feedforward, dropout=self.dropout,
                    dtype=self.dtype)(src, deterministic=deterministic)
 

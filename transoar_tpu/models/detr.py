@@ -59,13 +59,13 @@ class DETRDecoderLayer(nn.Module):
                                     dtype=self.dtype, name="self_attn")(
             q, q, tgt, deterministic=deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm_sa")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_sa")(tgt)
 
         ca = MultiHeadCrossAttention(self.num_heads, dropout=self.dropout,
                                      dtype=self.dtype, name="cross_attn")(
             tgt + query_pos, src + src_pos, src, deterministic=deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(ca, deterministic=deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm_ca")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_ca")(tgt)
 
         return FFN(self.dim_feedforward, dropout=self.dropout,
                    dtype=self.dtype, name="ffn")(
@@ -121,7 +121,7 @@ class DeformableDETRDecoderLayer(nn.Module):
                                     dtype=self.dtype, name="self_attn")(
             q, q, tgt, deterministic=deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm_sa")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_sa")(tgt)
 
         # ref_points [B, Q, 3] broadcast over levels
         ref = jnp.tile(ref_points[:, :, None, :], (1, 1, self.n_levels, 1))
@@ -130,7 +130,7 @@ class DeformableDETRDecoderLayer(nn.Module):
                           name="cross_attn")(
             tgt + query_pos, ref, src, spatial_shapes)
         tgt = tgt + nn.Dropout(self.dropout)(ca, deterministic=deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm_ca")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_ca")(tgt)
 
         return FFN(self.dim_feedforward, dropout=self.dropout,
                    dtype=self.dtype, name="ffn")(

@@ -217,7 +217,7 @@ class FocusedDecoderLayer(nn.Module):
         if return_weights:
             sa, self_weights = sa
         tgt = tgt + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm_sa")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_sa")(tgt)
 
         # Focused cross-attention against the flattened feature level.
         ca, weights = FocusedAttn(
@@ -227,7 +227,7 @@ class FocusedDecoderLayer(nn.Module):
                 tgt + query_pos, src + src_pos, src, bias, roi=roi,
                 deterministic=deterministic, return_weights=return_weights)
         tgt = tgt + nn.Dropout(self.dropout)(ca, deterministic=deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm_ca")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_ca")(tgt)
 
         tgt = FFN(self.dim_feedforward, dropout=self.dropout,
                   dtype=self.dtype, name="ffn")(tgt,

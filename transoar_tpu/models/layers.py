@@ -137,7 +137,7 @@ class FFN(nn.Module):
                      kernel_init=xavier_uniform)(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = x + h
-        return nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
 
 
 class MultiHeadSelfAttention(nn.Module):

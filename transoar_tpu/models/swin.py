@@ -75,16 +75,21 @@ def shifted_window_mask(padded_shape, ws, ss) -> np.ndarray:
     """[nW, N, N] additive mask (0 / -100) separating the cyclically wrapped
     regions of shifted windows (encoder_blocks.py:387-400)."""
     Dp, Hp, Wp = padded_shape
+
+    def axis_regions(ws_i, ss_i):
+        # A zero-shift axis is ONE region spanning everything (the
+        # reference's slice(-0, None) covers the full axis and last-write
+        # wins, encoder_blocks.py:387-400); slicing [0:-ws] alone would
+        # leave the last window unlabeled and under-mask wrapped windows.
+        if ss_i == 0:
+            return (slice(None),)
+        return (slice(-ws_i), slice(-ws_i, -ss_i), slice(-ss_i, None))
+
     img = np.zeros((1, Dp, Hp, Wp, 1), np.float32)
     cnt = 0
-    for d in (slice(-ws[0]), slice(-ws[0], -ss[0]) if ss[0] else slice(0, 0),
-              slice(-ss[0], None) if ss[0] else slice(0, 0)):
-        for h in (slice(-ws[1]),
-                  slice(-ws[1], -ss[1]) if ss[1] else slice(0, 0),
-                  slice(-ss[1], None) if ss[1] else slice(0, 0)):
-            for w in (slice(-ws[2]),
-                      slice(-ws[2], -ss[2]) if ss[2] else slice(0, 0),
-                      slice(-ss[2], None) if ss[2] else slice(0, 0)):
+    for d in axis_regions(ws[0], ss[0]):
+        for h in axis_regions(ws[1], ss[1]):
+            for w in axis_regions(ws[2], ss[2]):
                 img[:, d, h, w, :] = cnt
                 cnt += 1
     windows = np.asarray(window_partition(jnp.asarray(img), ws))[..., 0]
@@ -157,7 +162,7 @@ class SwinBlock(nn.Module):
             else (0, 0, 0))
 
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
 
         pad = [(0, (ws[i] - x.shape[1 + i] % ws[i]) % ws[i]) for i in range(3)]
         x = jnp.pad(x, [(0, 0)] + pad + [(0, 0)])
@@ -192,10 +197,12 @@ class SwinBlock(nn.Module):
 
         x = shortcut + droppath(x)
 
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
                      param_dtype=jnp.float32, name="mlp1")(h)
-        h = nn.gelu(h)
+        # exact erf GELU (torch nn.GELU default); flax's default is the
+        # tanh approximation, which diverges at the 1e-3 level
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
                      name="mlp2")(h)
         return x + droppath(h)
@@ -217,7 +224,7 @@ class PatchMerging(nn.Module):
         parts = [x[:, d::2, h::2, w::2]
                  for d in (0, 1) for w in (0, 1) for h in (0, 1)]
         x = jnp.concatenate(parts, axis=-1)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
                         param_dtype=jnp.float32)(x)
 

@@ -147,6 +147,60 @@ def conv3d_packed(x, w, pack=4):
     return jnp.moveaxis(y, 4, 2).reshape(B, D, H, W, F)
 
 
+def conv3d_parity(x, w, strides):
+    """Stride-2-depth conv via parity decomposition: split D into even/odd
+    rows with a pair-axis reshape (NO strided slicing — strided depth
+    slices run at ~50 GB/s on TPU because XLA lays depth into lanes),
+    run three HALF-depth 2D convs, and shift one tap by a single output
+    row. Requires sd == 2, KD == 3, even D.
+
+    Measured vs ``conv3d_split`` (fwd+bwd, v5e): stage-1 strided conv
+    50.0 -> 12.8 ms, stage-2 14.8 -> 6.8 ms (PERFORMANCE.md §Per-layer
+    conv variants).
+    """
+    B, D, H, W, C = x.shape
+    KD, KH, KW, _, F = w.shape
+    sd, sh, sw = strides
+    assert sd == 2 and KD == 3 and D % 2 == 0, (x.shape, w.shape, strides)
+    ph, pw = (KH - 1) // 2, (KW - 1) // 2
+    Do = D // 2
+    Ho = (H + 2 * ph - KH) // sh + 1
+    Wo = (W + 2 * pw - KW) // sw + 1
+    pads = ((ph, ph), (pw, pw))
+
+    def conv2d(xs, ws):
+        return jax.lax.conv_general_dilated(
+            xs, ws, (sh, sw), pads,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype)
+
+    x2 = x.reshape(B, Do, 2, H, W, C)
+    x_even = x2[:, :, 0].reshape(B * Do, H, W, C)
+    x_odd = x2[:, :, 1].reshape(B * Do, H, W, C)
+    # out[d] = w0 @ x[2d-1] + w1 @ x[2d] + w2 @ x[2d+1]
+    #        = w0 @ x_odd[d-1] + w1 @ x_even[d] + w2 @ x_odd[d]
+    y1 = conv2d(x_even, w[1]).reshape(B, Do, Ho, Wo, F)
+    y2 = conv2d(x_odd, w[2]).reshape(B, Do, Ho, Wo, F)
+    y0 = conv2d(x_odd, w[0]).reshape(B, Do, Ho, Wo, F)
+    y0 = jnp.pad(y0[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+    return y1 + y2 + y0
+
+
+def conv3d_native(x, w, strides=(1, 1, 1)):
+    """XLA's native 3D conv path with torch-style symmetric padding.
+
+    Slow for stride-1 stem convs (the original 36 ms finding), but the
+    FASTEST option for strided convs: the depth-decomposed variants must
+    conv every input depth slice and then strided-slice the output (fwd)
+    / interior-pad it (bwd) — measured 50-104 ms vs native's 29 ms for the
+    stage-1 strided conv (PERFORMANCE.md §Per-layer conv variants).
+    """
+    pads = [((k - 1) // 2, (k - 1) // 2) for k in w.shape[:3]]
+    return jax.lax.conv_general_dilated(
+        x, w, strides, pads, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=x.dtype)
+
+
 def conv3d_patch_matmul(x, w, stride):
     """Strided conv with kernel == stride (non-overlapping patches) as
     block reshape + matmul — the inverse of ``conv_transpose3d_matmul``.
@@ -223,13 +277,30 @@ class FastConv3D(nn.Module):
         else:
             import os
 
-            variant = os.environ.get("TRANSOAR_CONV3D", "split")
-            if variant == "packed" and tuple(self.strides) == (1, 1, 1):
+            strides = tuple(self.strides)
+            variant = os.environ.get("TRANSOAR_CONV3D", "auto")
+            if variant == "auto":
+                # measured policy (PERFORMANCE.md §Per-layer conv variants):
+                # depth-stride-2 -> parity decomposition (no strided depth
+                # slicing); stride-1 tiny C_in -> stack (concat of 1-3
+                # channels is free); otherwise -> split
+                if (strides[0] == 2 and ks[0] == 3
+                        and x.shape[1] % 2 == 0):
+                    variant = "parity"
+                elif strides == (1, 1, 1) and C <= 8:
+                    variant = "stack"
+                else:
+                    variant = "split"
+            if variant == "parity":
+                out = conv3d_parity(x, kernel, strides)
+            elif variant == "native":
+                out = conv3d_native(x, kernel, strides)
+            elif variant == "packed" and strides == (1, 1, 1):
                 out = conv3d_packed(x, kernel)
             elif variant == "stack":
-                out = conv3d(x, kernel, tuple(self.strides))
+                out = conv3d(x, kernel, strides)
             else:
-                out = conv3d_split(x, kernel, tuple(self.strides))
+                out = conv3d_split(x, kernel, strides)
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,),
                               jnp.float32)
