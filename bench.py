@@ -28,7 +28,7 @@ import numpy as np
 REFERENCE_VOLUMES_PER_SEC = 2.0  # documented estimate, see module docstring
 
 
-def build_benchmark(batch_size, patch, scan_steps=8):
+def build_benchmark(batch_size, patch, scan_steps=8, microbatch=None):
     from transoar_tpu.models.criterion import Criterion
     from transoar_tpu.models.transoarnet import build_transoarnet
     from transoar_tpu.presets import flagship_config
@@ -38,8 +38,11 @@ def build_benchmark(batch_size, patch, scan_steps=8):
     config = flagship_config(batch_size=batch_size, patch_size=patch)
     # encoder remat trades ~30% step time for HBM; only needed at batch >= 2
     config["backbone"]["remat"] = False
-    # per-sample microbatching sidesteps XLA's batch>=2 conv slowdown
-    config["trainer"]["microbatch"] = batch_size > 1
+    # The parity conv variant fixed the old batch>=2 conv slowdown;
+    # plain batching now beats the per-sample lax.map path (12.1 vs 11.2
+    # vol/s at batch 2) — microbatch stays available as an option.
+    config["trainer"]["microbatch"] = (False if microbatch is None
+                                       else microbatch)
     model = build_transoarnet(config)
 
     example = jnp.zeros((batch_size, *patch, 1))
@@ -86,10 +89,14 @@ def main():
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--scan_steps", type=int, default=8,
                         help="train steps fused into one dispatch")
+    parser.add_argument("--microbatch", choices=["auto", "on", "off"],
+                        default="auto")
     args = parser.parse_args()
 
+    microbatch = {"auto": None, "on": True, "off": False}[args.microbatch]
     state, train_step, batch = build_benchmark(
-        args.batch_size, tuple(args.patch), scan_steps=args.scan_steps)
+        args.batch_size, tuple(args.patch), scan_steps=args.scan_steps,
+        microbatch=microbatch)
     rng = jax.random.key(0)
 
     for _ in range(args.warmup):

@@ -80,7 +80,7 @@ def _ref_config(cfg):
     bb = cfg["backbone"]
     num_stages = bb["num_stages"]
     swin = bb.get("swin", {})
-    return {
+    out = {
         "backbone": {
             "in_channels": bb["in_channels"],
             "start_channels": bb["start_channels"],
@@ -107,6 +107,27 @@ def _ref_config(cfg):
         "neck": dict(cfg["neck"]),
         "bbox_properties": cfg["bbox_properties"],
     }
+    if bb.get("use_decoder_attn"):
+        _add_refine(out, cfg)
+    return out
+
+
+def _add_refine(ref_cfg, cfg):
+    """Enable the deformable FPN refinement on the reference config."""
+    da = cfg["backbone"]["def_attn"]
+    ref_cfg["backbone"].update({
+        "use_decoder_attn": True,
+        "feature_levels": list(da["feature_levels"]),
+        "pos_encoding": da.get("pos_encoding", "sine"),
+        "hidden_dim": da["hidden_dim"],
+        "nheads": da["nheads"],
+        "layers": da["layers"],
+        "dim_feedforward": da["dim_feedforward"],
+        "dropout": da["dropout"],
+        "n_points": da["n_points"],
+        "use_cuda": False,  # pure-torch grid_sample path (the numeric spec)
+    })
+    return ref_cfg
 
 
 def _build_reference(cfg, tiny_level_shape, seed=0):
@@ -174,6 +195,31 @@ def _map_swin_stage(sd, st, p):
         sd[f"{p}.downsample.reduction.weight"])
 
 
+def _map_refine(sd, dec, prefix="_backbone._decoder._refine"):
+    """Map the reference DecoderDefAttnBlock (decoder_blocks.py:12-97) onto
+    our backbone/decoder/refine subtree."""
+    ours = dec["refine"]
+    ours["level_embed"] = sd[f"{prefix}.level_embed"]
+    i = 0
+    while f"{prefix}.refine_def_attn.layers.{i}.norm1.weight" in sd:
+        lay = ours[f"layer{i}"]
+        q = f"{prefix}.refine_def_attn.layers.{i}."
+        sa = lay["self_attn"]
+        for name in ("value_proj", "sampling_offsets", "attention_weights",
+                     "output_proj"):
+            sa[name]["kernel"] = _lin(sd[q + f"self_attn.{name}.weight"])
+            sa[name]["bias"] = sd[q + f"self_attn.{name}.bias"]
+        lay["LayerNorm_0"]["scale"] = sd[q + "norm1.weight"]
+        lay["LayerNorm_0"]["bias"] = sd[q + "norm1.bias"]
+        lay["FFN_0"]["Dense_0"]["kernel"] = _lin(sd[q + "linear1.weight"])
+        lay["FFN_0"]["Dense_0"]["bias"] = sd[q + "linear1.bias"]
+        lay["FFN_0"]["Dense_1"]["kernel"] = _lin(sd[q + "linear2.weight"])
+        lay["FFN_0"]["Dense_1"]["bias"] = sd[q + "linear2.bias"]
+        lay["FFN_0"]["LayerNorm_0"]["scale"] = sd[q + "norm2.weight"]
+        lay["FFN_0"]["LayerNorm_0"]["bias"] = sd[q + "norm2.bias"]
+        i += 1
+
+
 def _map_weights(ref, params, cfg):
     """Copy the torch state dict onto our param tree."""
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
@@ -213,6 +259,8 @@ def _map_weights(ref, params, cfg):
         dec[f"up{s}"]["bias"] = sd[f"_backbone._decoder._up.{k_i}.bias"]
     out_stages = sorted(int(k[len("out"):]) for k in dec
                         if k.startswith("out"))
+    if "refine" in dec:
+        _map_refine(sd, dec)
     for m, s in enumerate(out_stages):
         dec[f"out{s}"]["kernel"] = _conv(
             sd[f"_backbone._decoder._out.{m}.weight"])
@@ -263,7 +311,7 @@ def _map_weights(ref, params, cfg):
     return jax.tree.map(jnp.asarray, new)
 
 
-def _setup(seg_proxy=False, use_swin=False):
+def _setup(seg_proxy=False, use_swin=False, use_refine=False):
     from transoar_tpu.models.focused_decoder import level_spatial_shape
 
     cfg = tiny_config(num_organs=3, qpo=7, precision="float32",
@@ -274,6 +322,17 @@ def _setup(seg_proxy=False, use_swin=False):
             "depths": [2, 2], "num_heads": [2, 4],
             "window_size": [4, 4, 4], "mlp_ratio": 2, "qkv_bias": True,
             "drop_path_rate": 0.0, "conv_merging": False,
+        }
+    if use_refine:
+        cfg["backbone"]["use_decoder_attn"] = True
+        cfg["backbone"]["def_attn"] = {
+            "pos_encoding": "sine",
+            "feature_levels": ["P2", "P3"],
+            # hidden_dim must equal fpn_channels (the refine operates on
+            # the P-level channels, reference attn_fpn.py:85-103)
+            "hidden_dim": cfg["backbone"]["fpn_channels"],
+            "dim_feedforward": 32, "dropout": 0.0,
+            "nheads": 6, "layers": 2, "n_points": 2,
         }
     patch = cfg["augmentation"]["patch_size"]
     level = int(cfg["neck"]["input_levels"][-1])
@@ -338,6 +397,20 @@ def test_swin_fpn_forward_parity():
     position bias, shifted-window masks, and patch merging against the
     reference EncoderSwinBlock (encoder_blocks.py:56-400)."""
     cfg, ref, model, ref_out, ours = _setup(use_swin=True)
+    np.testing.assert_allclose(
+        np.asarray(ours["pred_logits"]), ref_out["pred_logits"].numpy(),
+        atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(ours["pred_boxes"]), ref_out["pred_boxes"].numpy(),
+        atol=5e-5)
+
+
+def test_deformable_refine_forward_parity():
+    """Deformable FPN refinement (use_decoder_attn): MSDeformAttn sampling,
+    level embeddings, reference points, and the DefAttn layers against the
+    reference's pure-torch grid_sample path (decoder_blocks.py:12-177,
+    ms_deform_attn_func.py:41-65)."""
+    cfg, ref, model, ref_out, ours = _setup(use_refine=True)
     np.testing.assert_allclose(
         np.asarray(ours["pred_logits"]), ref_out["pred_logits"].numpy(),
         atol=5e-4)
@@ -486,3 +559,29 @@ def test_sine_position_encoding_parity():
         op = np.asarray(sine_position_encoding(shape, C))
         np.testing.assert_allclose(op, rp, atol=1e-5,
                                    err_msg=f"C={C} shape={shape}")
+
+
+def test_learned_position_encoding_parity():
+    _stub_timm()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from transoar.models.position_encoding import PositionEmbeddingLearned3D
+
+    from transoar_tpu.models.position_encoding import \
+        PositionEmbeddingLearned3D as Ours
+
+    C, shape = 24, (6, 5, 4)
+    torch.manual_seed(0)
+    ref = PositionEmbeddingLearned3D(channels=C)
+    x = torch.zeros((2, C, *shape))
+    rp = np.transpose(ref(x).detach().numpy(), (0, 2, 3, 4, 1))
+
+    ours = Ours(channels=C, dtype=jnp.float32)
+    params = ours.init(jax.random.key(0), jnp.zeros((2, *shape, C)))
+    params = {"params": {
+        "embed_0": jnp.asarray(ref.row_embed.weight.detach().numpy()),
+        "embed_1": jnp.asarray(ref.col_embed.weight.detach().numpy()),
+        "embed_2": jnp.asarray(ref.depth_embed.weight.detach().numpy()),
+    }}
+    op = np.asarray(ours.apply(params, jnp.zeros((2, *shape, C))))
+    np.testing.assert_allclose(op, rp, atol=1e-6)

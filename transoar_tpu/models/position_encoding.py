@@ -93,7 +93,9 @@ class PositionEmbeddingLearned3D(nn.Module):
         e1 = tables[1][:s1][None, :, None, :]
         e2 = tables[2][:s2][None, None, :, :]
         zeros = jnp.zeros((s0, s1, s2, per_axis), jnp.float32)
-        pos = jnp.concatenate([e0 + zeros, e1 + zeros, e2 + zeros], axis=-1)
+        # reference channel-block order: col (axis 1), row (axis 0), depth
+        # (axis 2) — position_encoding.py:79-83; embed_0=row, embed_1=col
+        pos = jnp.concatenate([e1 + zeros, e0 + zeros, e2 + zeros], axis=-1)
         pos = pos[..., :self.channels].astype(self.dtype)
         return jnp.broadcast_to(pos[None], (x.shape[0], *pos.shape))
 
