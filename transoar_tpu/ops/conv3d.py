@@ -283,11 +283,11 @@ class FastConv3D(nn.Module):
                 # measured policy (PERFORMANCE.md §Per-layer conv variants):
                 # depth-stride-2 -> parity decomposition (no strided depth
                 # slicing); stride-1 tiny C_in -> stack (concat of 1-3
-                # channels is free); otherwise -> split
+                # channels is free, measured up to C=24); otherwise -> split
                 if (strides[0] == 2 and ks[0] == 3
                         and x.shape[1] % 2 == 0):
                     variant = "parity"
-                elif strides == (1, 1, 1) and C <= 8:
+                elif strides == (1, 1, 1) and C <= 32:
                     variant = "stack"
                 else:
                     variant = "split"
