@@ -119,3 +119,34 @@ def test_multi_step_dispatch_on_mesh():
     state, losses = multi(state, device_batch, jax.random.key(1))
     assert losses["total"].shape == (K,)
     assert np.isfinite(np.asarray(losses["total"])).all()
+
+
+def test_distributed_init_single_process(tmp_path):
+    """Exercise the train CLI's distributed-init hook
+    (scripts/train.py: TRANSOAR_DISTRIBUTED gate) in a 1-process
+    coordinator setting: jax.distributed.initialize must succeed and the
+    process/device counts must be coherent."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+        "import os\n"
+        "os.environ['TRANSOAR_DISTRIBUTED'] = '1'\n"
+        "jax.distributed.initialize(coordinator_address='127.0.0.1:40921',"
+        " num_processes=1, process_id=0)\n"
+        "assert jax.process_count() == 1\n"
+        "assert len(jax.devices()) >= 1\n"
+        "import jax.numpy as jnp\n"
+        "print('distributed ok', float(jnp.ones(4).sum()))\n")
+    res = subprocess.run([sys.executable, "-c", code], cwd=str(repo),
+                         env=env, capture_output=True, text=True,
+                         timeout=300)
+    assert res.returncode == 0, res.stderr[-1500:]
+    assert "distributed ok 4.0" in res.stdout

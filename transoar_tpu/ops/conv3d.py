@@ -287,7 +287,11 @@ class FastConv3D(nn.Module):
                 if (strides[0] == 2 and ks[0] == 3
                         and x.shape[1] % 2 == 0):
                     variant = "parity"
-                elif strides == (1, 1, 1) and C <= 32:
+                elif strides == (1, 1, 1) and (
+                        C <= 8 or (C <= 32 and x.shape[0] == 1)):
+                    # stack beats split for the 24ch stem at batch 1
+                    # (15.8 vs 15.4 vol/s) but loses at batch 2
+                    # (11.1 vs 12.1) — batch-aware threshold, measured
                     variant = "stack"
                 else:
                     variant = "split"
