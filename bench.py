@@ -2,8 +2,11 @@
 
 Measures the full jitted training step (on-device bbox-target derivation +
 forward + matching + loss + backward + AdamW update) of the Focused Decoder
-+ AttnFPN flagship on AMOS-shaped volumes (256x256x128, batch 2 — the
-reference workload, BASELINE.md), on whatever accelerator JAX exposes.
++ AttnFPN flagship on AMOS-shaped volumes (256x256x128), on whatever
+accelerator JAX exposes. By default BOTH batch sizes are measured: batch 2
+(the reference workload, ``config/attn_fpn_foc_dec_amos.yaml`` batch_size)
+is the headline; batch 1 is reported alongside. ``--batch_size N`` restricts
+to one size (headline = that size).
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md §1).
 ``REFERENCE_VOLUMES_PER_SEC`` is a documented estimate of the reference
@@ -11,6 +14,12 @@ PyTorch pipeline on its README-era GPU (single V100/RTX-class card, AMP,
 batch 2, CPU matcher round-trip each step — conservatively ~1 step/s =
 2 volumes/s). ``vs_baseline`` is measured/estimate; the driver's north star
 is >= 5x (BASELINE.json).
+
+Sync discipline (PERFORMANCE.md §Measurement traps): through the axon
+tunnel ``jax.block_until_ready`` can return before device completion, so
+timing boundaries fetch a loss SCALAR (``float(...)``) — the dispatches
+chain through the donated train state, so fetching the last step's loss
+forces completion of the whole timed region.
 
 Prints exactly one JSON line.
 """
@@ -76,13 +85,38 @@ def build_benchmark(batch_size, patch, scan_steps=8, microbatch=None):
     return state, train_step, batch
 
 
+def measure(batch_size, patch, steps, warmup, scan_steps, microbatch):
+    state, train_step, batch = build_benchmark(
+        batch_size, patch, scan_steps=scan_steps, microbatch=microbatch)
+    rng = jax.random.key(0)
+
+    def sync(losses):
+        # scalar fetch — block_until_ready can return early on the axon
+        # tunnel (PERFORMANCE.md §Measurement traps); dispatches chain
+        # through the donated state, so this drains the whole queue
+        return float(losses["total"][-1])
+
+    for _ in range(warmup):
+        state, losses = train_step(state, batch, rng)
+    sync(losses)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, losses = train_step(state, batch, rng)
+    sync(losses)
+    elapsed = time.perf_counter() - t0
+    return (batch_size * scan_steps * steps) / elapsed
+
+
 def main():
     from transoar_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="measure one batch size only (default: both "
+                             "2 — the reference workload, headline — and 1)")
     parser.add_argument("--patch", type=int, nargs=3, default=[256, 256, 128])
     parser.add_argument("--steps", type=int, default=10,
                         help="number of multi-step dispatches to time")
@@ -94,30 +128,27 @@ def main():
     args = parser.parse_args()
 
     microbatch = {"auto": None, "on": True, "off": False}[args.microbatch]
-    state, train_step, batch = build_benchmark(
-        args.batch_size, tuple(args.patch), scan_steps=args.scan_steps,
-        microbatch=microbatch)
-    rng = jax.random.key(0)
+    patch = tuple(args.patch)
+    sizes = [args.batch_size] if args.batch_size else [2, 1]
+    vols = {
+        b: measure(b, patch, args.steps, args.warmup, args.scan_steps,
+                   microbatch)
+        for b in sizes
+    }
 
-    for _ in range(args.warmup):
-        state, losses = train_step(state, batch, rng)
-    jax.block_until_ready(losses)
-
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, losses = train_step(state, batch, rng)
-    jax.block_until_ready(losses)
-    elapsed = time.perf_counter() - t0
-
-    volumes_per_sec = (args.batch_size * args.scan_steps *
-                       args.steps) / elapsed
-    print(json.dumps({
+    headline = sizes[0]
+    result = {
         "metric": "CT volumes/sec/chip (Focused Decoder train step, "
-                  "%dx%dx%d, batch %d)" % (*args.patch, args.batch_size),
-        "value": round(volumes_per_sec, 4),
+                  "%dx%dx%d, batch %d)" % (*patch, headline),
+        "value": round(vols[headline], 4),
         "unit": "volumes/sec",
-        "vs_baseline": round(volumes_per_sec / REFERENCE_VOLUMES_PER_SEC, 4),
-    }))
+        "vs_baseline": round(vols[headline] / REFERENCE_VOLUMES_PER_SEC, 4),
+    }
+    for b in sizes[1:]:
+        result[f"batch{b}_volumes_per_sec"] = round(vols[b], 4)
+        result[f"batch{b}_vs_baseline"] = round(
+            vols[b] / REFERENCE_VOLUMES_PER_SEC, 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

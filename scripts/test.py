@@ -117,6 +117,16 @@ class Tester:
                     boxes[0], classes[0], scores[0], tgt_boxes[present],
                     np.nonzero(present)[0] + 1, np.asarray(batch["seg"])[0],
                     pred_dir, int(batch["index"][0]))
+            if self._args.save_attn_map and out.get("attn_weights") is None \
+                    and not getattr(self, "_warned_no_attn", False):
+                # deformable necks sample sparse points — there is no dense
+                # attention map to export (the reference's hook protocol,
+                # scripts/test.py:74-84, only exists for dense attention)
+                self._warned_no_attn = True
+                logger.warning(
+                    "--save_attn_map: neck %r produced no attention "
+                    "weights; skipping attention export",
+                    self._config["neck"]["name"])
             if self._args.save_attn_map and out.get("attn_weights") is not None:
                 from transoar_tpu.utils.visualization import \
                     save_attn_visualization

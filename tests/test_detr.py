@@ -81,6 +81,23 @@ def test_detr_forward_and_criterion():
         assert np.isfinite(float(losses[key])), key
 
 
+def test_detr_attention_weights_export():
+    """--save_attn_map support: the DETR neck returns the last layer's
+    head-averaged cross-attention (rows sum to 1 over source tokens)."""
+    cfg = _detr_cfg("detr")
+    model = build_transoarnet(cfg)
+    x = jnp.zeros((1, 32, 32, 16, 1))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x, return_weights=True)
+    w = out["attn_weights"]
+    assert w is not None
+    lvl = cfg["neck"]["input_levels"]
+    stage = int(lvl[-1])
+    tokens = (32 >> stage) * (32 >> stage) * (16 >> stage)
+    assert w.shape == (1, cfg["neck"]["num_queries"], tokens)
+    np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, atol=1e-3)
+
+
 def test_def_detr_forward():
     cfg = _detr_cfg("def_detr")
     model = build_transoarnet(cfg)

@@ -46,6 +46,86 @@ def test_nifti_scl_inter_applied_with_unit_slope(tmp_path):
                                data.astype(np.float32) - 1024.0)
 
 
+def _spec_nifti_bytes(data, srow, scl_slope=0.0, scl_inter=0.0,
+                      pixdim=(1.0, 1.0, 1.0), sform_code=1):
+    """Hand-build NIfTI-1 file bytes straight from the spec
+    (https://nifti.nimh.nih.gov/nifti-1, struct layout of nifti_1_header) —
+    deliberately NOT via ``write_nifti``, to cross-validate the codec
+    against an independent writer the way the reference's SimpleITK reader
+    would consume third-party files (reference transoar/utils/io.py:40-67).
+    """
+    import struct
+
+    data = np.asarray(data)
+    code = {np.dtype(np.int16): 4, np.dtype(np.float32): 16,
+            np.dtype(np.float64): 64, np.dtype(np.uint8): 2}[data.dtype]
+    hdr = bytearray(352)
+    struct.pack_into("<i", hdr, 0, 348)                      # sizeof_hdr
+    struct.pack_into("<8h", hdr, 40, data.ndim, *data.shape,
+                     *([1] * (7 - data.ndim)))               # dim
+    struct.pack_into("<h", hdr, 70, code)                    # datatype
+    struct.pack_into("<h", hdr, 72, data.dtype.itemsize * 8)  # bitpix
+    struct.pack_into("<8f", hdr, 76, 0.0, *pixdim, 1.0, 1.0, 1.0, 1.0)
+    struct.pack_into("<f", hdr, 108, 352.0)                  # vox_offset
+    struct.pack_into("<f", hdr, 112, scl_slope)
+    struct.pack_into("<f", hdr, 116, scl_inter)
+    struct.pack_into("<h", hdr, 252, 0)                      # qform_code
+    struct.pack_into("<h", hdr, 254, sform_code)
+    struct.pack_into("<12f", hdr, 280, *np.asarray(srow, np.float32).ravel())
+    hdr[344:348] = b"n+1\0"
+    return bytes(hdr) + data.tobytes(order="F")
+
+
+def test_nifti_reads_externally_written_file(tmp_path):
+    """Codec cross-validation: files produced by an independent spec-level
+    writer (int16 + scl rescale, .nii and .nii.gz) load to the known grid."""
+    data = (np.arange(4 * 3 * 2, dtype=np.int16).reshape(4, 3, 2) - 10)
+    srow = [[1.5, 0, 0, -7.0], [0, 1.5, 0, 3.0], [0, 0, 2.0, 0.0]]
+    raw = _spec_nifti_bytes(data, srow, scl_slope=2.0, scl_inter=-500.0,
+                            pixdim=(1.5, 1.5, 2.0))
+
+    import gzip
+
+    (tmp_path / "ext.nii").write_bytes(raw)
+    with gzip.open(tmp_path / "ext.nii.gz", "wb") as f:
+        f.write(raw)
+
+    for name in ("ext.nii", "ext.nii.gz"):
+        loaded = load_nifti(tmp_path / name)
+        np.testing.assert_allclose(
+            loaded["data"], data.astype(np.float32) * 2.0 - 500.0)
+        np.testing.assert_allclose(loaded["spacing"], [1.5, 1.5, 2.0])
+        np.testing.assert_allclose(loaded["affine"][:3, :],
+                                   np.asarray(srow), atol=1e-6)
+
+
+def test_nifti_external_non_ras_orientation(tmp_path):
+    """A spec-written LAS-oriented volume (voxel axis 0 runs R->L) must
+    come out of load + reorient_ras as the flipped RAS grid."""
+    data = np.arange(5 * 4 * 3, dtype=np.float32).reshape(5, 4, 3)
+    srow = [[-2.0, 0, 0, 8.0], [0, 1.0, 0, 0.0], [0, 0, 1.0, 0.0]]
+    (tmp_path / "las.nii").write_bytes(
+        _spec_nifti_bytes(data, srow, pixdim=(2.0, 1.0, 1.0)))
+
+    loaded = load_nifti(tmp_path / "las.nii")
+    out, affine = reorient_ras(loaded["data"], loaded["affine"])
+    np.testing.assert_array_equal(out, data[::-1])
+    assert affine[0, 0] == 2.0  # spacing magnitude kept, direction now +R
+
+
+def test_nifti_external_permuted_orientation(tmp_path):
+    """A spec-written volume whose voxel axes map to world (Z, X, Y) must
+    reorient to RAS as the inverse axis permutation."""
+    data = np.arange(4 * 3 * 2, dtype=np.float32).reshape(4, 3, 2)
+    # voxel axis 0 -> +Z, axis 1 -> +X, axis 2 -> +Y
+    srow = [[0, 1.0, 0, 0.0], [0, 0, 1.0, 0.0], [3.0, 0, 0, 0.0]]
+    (tmp_path / "perm.nii").write_bytes(_spec_nifti_bytes(data, srow))
+
+    loaded = load_nifti(tmp_path / "perm.nii")
+    out, _ = reorient_ras(loaded["data"], loaded["affine"])
+    np.testing.assert_array_equal(out, np.transpose(data, (1, 2, 0)))
+
+
 def test_reorient_ras_flip():
     data = np.arange(24, dtype=np.float32).reshape(4, 3, 2)
     affine = np.diag([-1.0, 1.0, 1.0, 1.0])  # L-flip on axis 0
@@ -140,7 +220,8 @@ def test_preprocessor_border_organ_filter(tmp_path):
     out = tmp_path / "out"
     prep_cfg = {"resize_shape": [16, 16, 8], "margin": [0, 0, 0],
                 "border_organs": [1]}
-    with pytest.raises((ValueError, IndexError)):
-        # no surviving cases -> statistics computation fails loudly
+    with pytest.raises(RuntimeError, match="zero cases"):
+        # no surviving cases -> fails loudly BEFORE writing NaN statistics
         PreProcessor(splits, raw, out, prep_cfg, {}).run()
     assert not (out / "train" / "c").exists()
+    assert not (out / "data_info.json").exists()

@@ -153,6 +153,14 @@ class PreProcessor:
                 np.save(case_dir / "label.npy", label.astype(np.int32))
                 logger.info("prepared %s (%s)", name, image.shape)
 
+        if not self._shapes:
+            # every case was filtered out — writing statistics would put
+            # NaN-cast garbage into data_info.json (empty-slice means +
+            # invalid int casts); fail loudly instead
+            raise RuntimeError(
+                "preprocessing produced zero cases (all filtered); "
+                "refusing to write NaN statistics to data_info.json — "
+                "check the organ/border filters against this dataset")
         self._data_config["bbox_properties"] = self._bbox_props()
         self._data_config["shape_statistics"] = self._shape_stats()
         self._data_config["foreground_voxel_statistics"] = self._voxel_stats()

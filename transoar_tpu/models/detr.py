@@ -40,10 +40,11 @@ class MultiHeadCrossAttention(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, q, k, v, deterministic=True):
+    def __call__(self, q, k, v, deterministic=True, return_weights=False):
         return MultiHeadSelfAttention(
             self.num_heads, dropout=self.dropout, dtype=self.dtype,
-            name="mha")(q, k, v, deterministic=deterministic)
+            name="mha")(q, k, v, deterministic=deterministic,
+                        return_weights=return_weights)
 
 
 class DETRDecoderLayer(nn.Module):
@@ -53,7 +54,8 @@ class DETRDecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, tgt, query_pos, src, src_pos, deterministic=True):
+    def __call__(self, tgt, query_pos, src, src_pos, deterministic=True,
+                 return_weights=False):
         q = tgt + query_pos
         sa = MultiHeadSelfAttention(self.num_heads, dropout=self.dropout,
                                     dtype=self.dtype, name="self_attn")(
@@ -63,13 +65,18 @@ class DETRDecoderLayer(nn.Module):
 
         ca = MultiHeadCrossAttention(self.num_heads, dropout=self.dropout,
                                      dtype=self.dtype, name="cross_attn")(
-            tgt + query_pos, src + src_pos, src, deterministic=deterministic)
+            tgt + query_pos, src + src_pos, src, deterministic=deterministic,
+            return_weights=return_weights)
+        weights = None
+        if return_weights:
+            ca, weights = ca
         tgt = tgt + nn.Dropout(self.dropout)(ca, deterministic=deterministic)
         tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_ca")(tgt)
 
-        return FFN(self.dim_feedforward, dropout=self.dropout,
-                   dtype=self.dtype, name="ffn")(
+        out = FFN(self.dim_feedforward, dropout=self.dropout,
+                  dtype=self.dtype, name="ffn")(
             tgt, deterministic=deterministic)
+        return (out, weights) if return_weights else out
 
 
 class DETRDecoder(nn.Module):
@@ -90,17 +97,24 @@ class DETRDecoder(nn.Module):
             query_pos[None], (B, *query_pos.shape)).astype(self.dtype)
         tgt = jnp.broadcast_to(tgt[None], (B, *tgt.shape)).astype(self.dtype)
 
-        layer_cls = (nn.remat(DETRDecoderLayer, static_argnums=(5,))
+        layer_cls = (nn.remat(DETRDecoderLayer, static_argnums=(5, 6))
                      if cfg.get("remat", True) else DETRDecoderLayer)
         intermediate = []
+        weights = None
         for i in range(cfg["dec_layers"]):
+            # head-averaged cross-attn of the LAST layer — the reference's
+            # attention-export hook protocol (reference scripts/test.py:81-84)
+            want_w = bool(return_weights) and i == cfg["dec_layers"] - 1
             tgt = layer_cls(
                 num_heads=cfg["nheads"],
                 dim_feedforward=cfg["dim_feedforward"],
                 dropout=cfg["dropout"], dtype=self.dtype,
-                name=f"layer{i}")(tgt, query_pos, src, pos, deterministic)
+                name=f"layer{i}")(tgt, query_pos, src, pos, deterministic,
+                                  want_w)
+            if want_w:
+                tgt, weights = tgt
             intermediate.append(tgt)
-        return jnp.stack(intermediate), None
+        return jnp.stack(intermediate), weights
 
 
 class DeformableDETRDecoderLayer(nn.Module):

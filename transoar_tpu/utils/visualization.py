@@ -159,14 +159,26 @@ def save_attn_visualization(model_out, config, out_dir, case_id, seg=None,
         _red_alpha_png(img, out_dir / f"case{case_id}_cdist.png")
 
     # --- cross-attention overlays (visualization.py:250-308) ---
-    attn = np.asarray(model_out["attn_weights"][0], np.float32).mean(0)
-    attn = attn.reshape(num_organs, qpo, *shape)
+    attn = np.asarray(model_out["attn_weights"][0], np.float32)
+    if attn.ndim == 3:  # focused branch: [H, Q, S] -> head average
+        attn = attn.mean(0)
     logits = np.asarray(model_out["pred_logits"][0], np.float32)
-    logits = logits.reshape(num_organs, qpo)
+    if logits.shape[-1] > 1:
+        # DETR branch: generic queries + softmax classes (no organ/qpo
+        # block structure) — per organ, take the query most confident in
+        # that class
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = e / e.sum(-1, keepdims=True)  # [Q, K+1]
+        attn = attn.reshape(attn.shape[0], *shape)  # [Q, *shape]
+        best_query = probs[:, 1:num_organs + 1].argmax(0)  # [num_organs]
+        organ_vols = attn[best_query]
+    else:
+        attn = attn.reshape(num_organs, qpo, *shape)
+        logits = logits.reshape(num_organs, qpo)
+        organ_vols = attn[np.arange(num_organs), logits.argmax(-1)]
 
     for organ in range(num_organs):
-        best = int(np.argmax(logits[organ]))
-        vol = attn[organ, best]
+        vol = organ_vols[organ]
         zoom = [p / s for p, s in zip(patch, vol.shape)]
         vol = ndimage.zoom(vol, zoom, order=1)
         lo, hi = vol.min(), vol.max()
@@ -188,6 +200,9 @@ def save_attn_visualization(model_out, config, out_dir, case_id, seg=None,
         if mean_attn:
             frame = vol.mean(axis=0)
             lo, hi = frame.min(), frame.max()
+            # divisor is hi, not (hi - lo): deliberately reproduces the
+            # reference's normalization (visualization.py:300 divides the
+            # shifted frame by attn_map.max()), so mean-attn exports match
             frame = (frame - lo) / (hi + 1e-12) * 255
 
         for idx in range(0, vol.shape[0], 5):
