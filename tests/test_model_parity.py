@@ -220,9 +220,14 @@ def _map_refine(sd, dec, prefix="_backbone._decoder._refine"):
         i += 1
 
 
-def _map_weights(ref, params, cfg):
-    """Copy the torch state dict onto our param tree."""
-    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+def _map_weights(ref, params, cfg, sd=None):
+    """Copy a torch name->array dict (default: the state dict) onto our
+    param tree. Passing per-parameter GRADIENTS as ``sd`` maps them too —
+    every transform here is a transpose/reshape, which commutes with
+    differentiation."""
+    if sd is None:
+        sd = {k: v.detach().numpy().copy()  # copy: .numpy() aliases torch
+              for k, v in ref.state_dict().items()}  # storage, which optim.step() mutates in place
     C = cfg["neck"]["hidden_dim"]
     H = cfg["neck"]["nheads"]
     hd = C // H
@@ -349,7 +354,7 @@ def _setup(seg_proxy=False, use_swin=False, use_refine=False):
         ref_out = ref(torch.tensor(np.transpose(x_np, (0, 4, 1, 2, 3))))
     ours = model.apply({"params": params}, jnp.asarray(x_np),
                        deterministic=True)
-    return cfg, ref, model, ref_out, ours
+    return cfg, ref, model, ref_out, ours, params, x_np
 
 
 def test_anchor_generation_parity():
@@ -370,7 +375,7 @@ def test_anchor_generation_parity():
 
 
 def test_full_model_forward_parity():
-    cfg, ref, model, ref_out, ours = _setup(seg_proxy=False)
+    cfg, ref, model, ref_out, ours, _, _ = _setup(seg_proxy=False)
 
     np.testing.assert_allclose(np.asarray(model.anchors),
                                ref._anchors.numpy(), atol=1e-6)
@@ -396,7 +401,7 @@ def test_swin_fpn_forward_parity():
     """SwinFPN variant (use_encoder_attn): window attention, relative
     position bias, shifted-window masks, and patch merging against the
     reference EncoderSwinBlock (encoder_blocks.py:56-400)."""
-    cfg, ref, model, ref_out, ours = _setup(use_swin=True)
+    cfg, ref, model, ref_out, ours, _, _ = _setup(use_swin=True)
     np.testing.assert_allclose(
         np.asarray(ours["pred_logits"]), ref_out["pred_logits"].numpy(),
         atol=5e-4)
@@ -410,7 +415,7 @@ def test_deformable_refine_forward_parity():
     level embeddings, reference points, and the DefAttn layers against the
     reference's pure-torch grid_sample path (decoder_blocks.py:12-177,
     ms_deform_attn_func.py:41-65)."""
-    cfg, ref, model, ref_out, ours = _setup(use_refine=True)
+    cfg, ref, model, ref_out, ours, _, _ = _setup(use_refine=True)
     np.testing.assert_allclose(
         np.asarray(ours["pred_logits"]), ref_out["pred_logits"].numpy(),
         atol=5e-4)
@@ -446,7 +451,7 @@ def _targets(cfg, batch=2, seed=4):
 
 def test_full_model_criterion_parity():
     _, TransoarCriterion, Matcher = _import_reference()
-    cfg, ref, model, ref_out, ours = _setup(seg_proxy=False)
+    cfg, ref, model, ref_out, ours, _, _ = _setup(seg_proxy=False)
     m = cfg["matching"]
     organs = cfg["neck"]["num_organs"]
 
@@ -504,7 +509,7 @@ def test_full_model_criterion_parity():
 
 def test_full_model_seg_proxy_parity():
     _, TransoarCriterion, Matcher = _import_reference()
-    cfg, ref, model, ref_out, ours = _setup(seg_proxy=True)
+    cfg, ref, model, ref_out, ours, _, _ = _setup(seg_proxy=True)
     organs = cfg["neck"]["num_organs"]
     m = cfg["matching"]
 
@@ -585,3 +590,162 @@ def test_learned_position_encoding_parity():
     }}
     op = np.asarray(ours.apply(params, jnp.zeros((2, *shape, C))))
     np.testing.assert_allclose(op, rp, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Training-dynamics parity: gradients + one AdamW step
+# ---------------------------------------------------------------------------
+
+def _grad_sd(ref):
+    """torch per-parameter gradients as a name->numpy dict (None grads —
+    dead params like the unused cross-attn q_proj — become zeros)."""
+    return {
+        k: (p.grad if p.grad is not None
+            else torch.zeros_like(p)).detach().numpy().copy()
+        for k, p in ref.named_parameters()
+    }
+
+
+def _bug_compatible_loss_fn(model, crit, cfg, x, tgt_boxes, tgt_present,
+                            anchors):
+    """Composed total training loss with the reference's aux-loss bug
+    REPRODUCED (criterion.py:118 computes aux losses on the final outputs
+    with aux matches) so gradients are comparable term by term."""
+    from transoar_tpu.models.criterion import (loss_bboxes, loss_class,
+                                               total_loss)
+
+    organs = cfg["neck"]["num_organs"]
+    coefs = cfg["loss_coefs"]
+
+    def loss_fn(params):
+        out = model.apply({"params": params}, x, deterministic=True)
+        losses = crit(out, {"boxes": tgt_boxes, "present": tgt_present},
+                      anchors)
+        for i in range(out["aux_logits"].shape[0]):
+            m_i, s_i = crit._match(out["aux_logits"][i], out["aux_boxes"][i],
+                                   anchors, tgt_boxes, tgt_present)
+            losses[f"cls_{i}"] = loss_class(out["pred_logits"], s_i, organs)
+            losses[f"bbox_{i}"], losses[f"giou_{i}"] = loss_bboxes(
+                out["pred_boxes"], m_i, tgt_boxes, tgt_present, organs)
+        return total_loss(losses, coefs)
+
+    return loss_fn
+
+
+def test_full_model_gradient_and_adamw_step_parity():
+    """Backprop through the COMPOSED network (InstanceNorm, shared-QK
+    attention, FPN transposed convs, anchor-offset decode) + one AdamW step
+    with the reference's two LR groups must match torch autograd + torch
+    AdamW (reference trainer.py:67-86 backward/clip, scripts/train.py:52-65
+    param groups)."""
+    import flax
+
+    from transoar_tpu.models.criterion import Criterion, total_loss
+    from transoar_tpu.training.train_state import TrainState, make_optimizer
+
+    _, TransoarCriterion, Matcher = _import_reference()
+    cfg, ref, model, ref_out, _ours, params, x_np = _setup(seg_proxy=False)
+    organs = cfg["neck"]["num_organs"]
+    m = cfg["matching"]
+    coefs = cfg["loss_coefs"]
+    boxes, present, ref_targets = _targets(cfg)
+
+    # --- torch: forward, composed loss, backward, global-norm clip -------
+    ref_crit = TransoarCriterion(
+        num_classes=organs,
+        matcher=Matcher(cost_class=m["cost_class"], cost_bbox=m["cost_bbox"],
+                        cost_giou=m["cost_giou"],
+                        anchor_matching=m["anchor_matching"],
+                        num_organs=organs),
+        seg_proxy=False, seg_fg_bg=True)
+    ref.zero_grad()
+    out_t = ref(torch.tensor(np.transpose(x_np, (0, 4, 1, 2, 3))))
+    loss_dict = ref_crit(out_t, ref_targets, None, ref._anchors)
+    loss_t = sum(v * coefs[k.split("_")[0]] for k, v in loss_dict.items())
+    loss_t.backward()
+
+    # active clipping (reference trainer.py:79-82): pick max_norm BELOW the
+    # actual grad norm so the clip path is exercised, not a no-op
+    total_norm = float(torch.nn.utils.clip_grad_norm_(
+        ref.parameters(), float("inf")))
+    max_norm = 0.5 * total_norm
+    torch.nn.utils.clip_grad_norm_(ref.parameters(), max_norm)
+    cfg["trainer"]["clip_max_norm"] = max_norm
+
+    # --- ours: same composed loss via jax.grad + optax clip --------------
+    crit = Criterion(cfg)
+    anchors = jnp.asarray(model.anchors)
+    tb, tp = jnp.asarray(boxes), jnp.asarray(present)
+    loss_fn = _bug_compatible_loss_fn(model, crit, cfg, jnp.asarray(x_np),
+                                      tb, tp, anchors)
+    loss_o, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss_o), float(loss_t.detach()),
+                               rtol=1e-4)
+
+    # --- per-tensor gradient comparison (map torch grads like weights) ---
+    nan_base = jax.tree.map(lambda a: jnp.full(a.shape, jnp.nan, jnp.float32),
+                            params)
+    ref_grads = _map_weights(ref, nan_base, cfg, sd=_grad_sd(ref))
+    clip_scale = max_norm / total_norm  # torch grads were already clipped
+    flat_o = flax.traverse_util.flatten_dict(
+        jax.tree.map(np.asarray, grads))
+    flat_r = flax.traverse_util.flatten_dict(
+        jax.tree.map(np.asarray, ref_grads))
+    assert set(flat_o) == set(flat_r)
+    # leaves with analytically-ZERO gradients (e.g. self-attn k_proj bias:
+    # a key bias shifts every attention score of a row equally — softmax
+    # invariant) carry only float noise in both frameworks; floor the
+    # denominator at a fraction of the global norm and track them
+    negligible = set()
+    for key in sorted(flat_o):
+        o, r = flat_o[key] * clip_scale, flat_r[key]
+        name = "/".join(key)
+        assert not np.isnan(r).any(), f"unmapped param leaf {name}"
+        floor = 1e-5 * total_norm * clip_scale
+        if np.linalg.norm(r) < floor and np.linalg.norm(o) < floor:
+            negligible.add(key)
+            continue
+        rel = np.linalg.norm(o - r) / max(np.linalg.norm(r), floor)
+        assert rel < 1e-2, f"{name}: rel grad err {rel:.2e}"
+
+    # --- one AdamW step, two LR groups (scripts/train.py:52-65) ----------
+    lr, lr_backbone = (float(cfg["trainer"]["lr"]),
+                       float(cfg["trainer"]["lr_backbone"]))
+    wd = float(cfg["trainer"]["weight_decay"])
+    param_dicts = [
+        {"params": [p for n, p in ref.named_parameters()
+                    if n.startswith("_backbone") and p.requires_grad]},
+        {"params": [p for n, p in ref.named_parameters()
+                    if not n.startswith("_backbone") and p.requires_grad],
+         "lr": lr},
+    ]
+    optim = torch.optim.AdamW(param_dicts, lr=lr_backbone, weight_decay=wd)
+    optim.step()
+    ref_new = _map_weights(ref, nan_base, cfg)
+
+    state = TrainState.create(apply_fn=model.apply, params=params,
+                              tx=make_optimizer(cfg, steps_per_epoch=100))
+    state = state.apply_gradients(grads=grads)
+
+    flat_old = flax.traverse_util.flatten_dict(
+        jax.tree.map(np.asarray, params))
+    flat_new_o = flax.traverse_util.flatten_dict(
+        jax.tree.map(np.asarray, state.params))
+    flat_new_r = flax.traverse_util.flatten_dict(
+        jax.tree.map(np.asarray, ref_new))
+    for key in sorted(flat_old):
+        if key in negligible:
+            # analytically-zero gradient: g/(|g|+eps) is pure float noise,
+            # the AdamW update direction is undefined — skip
+            continue
+        name = "/".join(key)
+        group_lr = lr_backbone if key[0] == "backbone" else lr
+        delta_o = flat_new_o[key] - flat_old[key]
+        delta_r = flat_new_r[key] - flat_old[key]
+        # first-step AdamW updates are ~= -lr * sign(g) - lr*wd*p; compare
+        # deltas with an lr-scaled absolute tolerance (eps-scale grads make
+        # g/(|g|+eps) hypersensitive — a 1e-9 grad difference swings the
+        # ratio anywhere in [0, 1] — so elementwise rtol alone is brittle)
+        np.testing.assert_allclose(
+            delta_o, delta_r, rtol=0.05, atol=0.25 * group_lr,
+            err_msg=f"{name} (group lr={group_lr})")
