@@ -250,6 +250,34 @@ class Trainer:
         while buf:
             yield buf.popleft()
 
+    def _prefetch_stacked(self, loader, k, depth=2):
+        """K-stacked prefetch for the ``steps_per_dispatch > 1`` path: each
+        yield is either ('stacked', device_batch) holding K batches with a
+        leading K axis, or ('single', device_batch) for the ragged tail.
+        Keeping ``depth`` stacked batches in flight overlaps host stacking +
+        H2D transfer with the previous dispatch's K steps of compute —
+        exactly where dispatch amortization matters most."""
+        import collections
+
+        buf = collections.deque()
+        pending = []
+        for batch in loader:
+            pending.append(batch)
+            if len(pending) == k:
+                stacked = {key: np.stack([b[key] for b in pending])
+                           for key in ("image", "seg")}
+                # mesh-aware placement — bare device_put would fight the
+                # replicated out_shardings on a dp/sp>1 mesh
+                buf.append(("stacked", mesh_lib.shard_stacked_batch(
+                    stacked, self._mesh)))
+                pending = []
+                if len(buf) >= depth:
+                    yield buf.popleft()
+        for batch in pending:  # ragged tail runs single steps
+            buf.append(("single", self._device_batch(batch)))
+        while buf:
+            yield buf.popleft()
+
     # -- loops -------------------------------------------------------------
     def _train_one_epoch(self, epoch):
         # Loss scalars stay on device during the epoch — fetching per step
@@ -258,28 +286,19 @@ class Trainer:
         count = 0
         K = self._steps_per_dispatch
         if K > 1:
-            pending = []
-            for batch in self._train_loader:
-                pending.append(batch)
-                if len(pending) == K:
-                    stacked = {
-                        key: np.stack([b[key] for b in pending])
-                        for key in ("image", "seg")}
-                    # mesh-aware placement — bare device_put would fight the
-                    # replicated out_shardings on a dp/sp>1 mesh
-                    device_batch = mesh_lib.shard_stacked_batch(
-                        stacked, self._mesh)
+            for kind, device_batch in self._prefetch_stacked(
+                    self._train_loader, K):
+                if kind == "stacked":
                     self.state, losses = self._multi_train_step(
                         self.state, device_batch, self._rng)
                     step_losses.append(losses)  # [K, ...] per key
                     count += K
-                    pending = []
-            for batch in pending:  # ragged tail runs single steps
-                self.state, losses = self._train_step(
-                    self.state, self._device_batch(batch), self._rng)
-                step_losses.append(
-                    {k: v[None] for k, v in losses.items()})
-                count += 1
+                else:
+                    self.state, losses = self._train_step(
+                        self.state, device_batch, self._rng)
+                    step_losses.append(
+                        {k: v[None] for k, v in losses.items()})
+                    count += 1
         else:
             for device_batch in self._prefetch(self._train_loader):
                 self.state, losses = self._train_step(
