@@ -150,3 +150,61 @@ def test_distributed_init_single_process(tmp_path):
                          timeout=300)
     assert res.returncode == 0, res.stderr[-1500:]
     assert "distributed ok 4.0" in res.stdout
+
+
+def test_distributed_two_process_dp():
+    """REAL 2-process jax.distributed run: coordinator + worker
+    subprocesses, each contributing 2 local CPU devices to one 4-device
+    global dp mesh (tests/distributed_worker.py). One train step's loss and
+    post-update parameter checksum must agree across BOTH processes and
+    with the single-process oracle computed here — i.e. the gradient psum
+    really crossed the process boundary and produced the same update."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        procs.append(subprocess.Popen(
+            [sys.executable, str(repo / "tests" / "distributed_worker.py"),
+             "--process_id", str(pid), "--port", str(port)],
+            cwd=str(repo), env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
+
+    results = {}
+    for out, _ in outs:
+        m = re.search(r"RESULT process=(\d+) total=([\d.e+-]+) "
+                      r"checksum=([\d.e+-]+)", out)
+        assert m, out
+        results[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+    assert set(results) == {0, 1}
+    # both processes saw identical replicated outputs
+    assert results[0] == results[1], results
+
+    # single-process oracle on 4 of this process's virtual devices
+    batch = 4
+    cfg, model, state, step_fn, batch_data = _build(batch)
+    mesh = mesh_lib.make_mesh(dp=4, sp=1, devices=jax.devices()[:4])
+    rep = mesh_lib.replicated(mesh)
+    step = jax.jit(step_fn, out_shardings=(rep, rep))
+    device_batch = mesh_lib.shard_batch(batch_data, mesh)
+    new_state, losses = step(state, device_batch, jax.random.key(1))
+    total = float(losses["total"])
+    checksum = float(sum(jnp.sum(jnp.abs(leaf)).astype(jnp.float32)
+                         for leaf in jax.tree.leaves(new_state.params)))
+    np.testing.assert_allclose(results[0][0], total, rtol=2e-4)
+    np.testing.assert_allclose(results[0][1], checksum, rtol=1e-5)
