@@ -190,3 +190,51 @@ def test_conv3d_parity_gradients_match(rng):
                      argnums=(0, 1))(x, w)
     for a, b in zip(g_ours, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+@pytest.mark.parametrize("variant", ["split", "stack"])
+def test_conv3d_pair_matches_lax(rng, variant):
+    """Paired-depth stride-1 convs (pair in AND out) must equal the plain
+    3D conv after unpairing."""
+    from transoar_tpu.ops.conv3d import (conv3d_pair_split, conv3d_pair_stack,
+                                         pair, unpair)
+
+    fn = conv3d_pair_split if variant == "split" else conv3d_pair_stack
+    x = jnp.asarray(rng.normal(size=(2, 8, 6, 6, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 5)).astype(np.float32))
+    xp = pair(x)
+    assert np.array_equal(np.asarray(unpair(xp)), np.asarray(x))
+    out = unpair(fn(xp, w, (1, 1, 1)))
+    ref = _ref_conv3d(x, w, (1, 1, 1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_conv3d_parity_pairin_matches_lax(rng):
+    """Parity conv on already-paired input must equal the strided 3D conv."""
+    from transoar_tpu.ops.conv3d import conv3d_parity_pairin, pair
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 6, 6, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 5)).astype(np.float32))
+    out = conv3d_parity_pairin(pair(x), w, (2, 2, 2))
+    ref = _ref_conv3d(x, w, (2, 2, 2))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_conv3d_pair_gradients_match(rng):
+    """Autodiff through the paired path (the production backward)."""
+    from transoar_tpu.ops.conv3d import (conv3d_pair_split, pair, unpair)
+
+    x = jnp.asarray(rng.normal(size=(1, 6, 4, 4, 2)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 2, 3)).astype(np.float32))
+
+    def loss_pair(x, w):
+        return jnp.sum(jnp.sin(unpair(conv3d_pair_split(pair(x), w))))
+
+    def loss_ref(x, w):
+        return jnp.sum(jnp.sin(_ref_conv3d(x, w, (1, 1, 1))))
+
+    gx, gw = jax.grad(loss_pair, argnums=(0, 1))(x, w)
+    rx, rw = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-4)

@@ -55,6 +55,16 @@ class Encoder(nn.Module):
         remat = cfg.get("remat", True)
         cnn_block = nn.remat(EncoderCnnBlock) if remat else EncoderCnnBlock
 
+        # Paired-depth chain (PERFORMANCE.md §Next targets): stride-1 convs
+        # emit [B, 2, D/2, ...] even/odd blocks so the next stage's parity
+        # conv reads its halves contiguously instead of strided-slicing the
+        # full-resolution tensor. Only stages whose C-output is NOT consumed
+        # by the decoder participate (required stages stay normal-layout).
+        chain = bool(cfg.get("pair_chain", True)) and not use_swin
+        req = set(required_stages(cfg)) if chain else set()
+        k3 = cfg.get("kernel_size", 3) == 3
+        paired = False  # layout of x entering the current stage
+
         outputs = {}
         features = cfg["start_channels"]
         for stage in range(num_stages):
@@ -87,11 +97,30 @@ class Encoder(nn.Module):
                     name=f"stage{stage}",
                 )(x, deterministic=deterministic)
             else:
+                pair_out = False
+                if chain and k3 and stage not in req \
+                        and stage + 1 < num_stages \
+                        and not (use_swin and stage + 1 > 1) \
+                        and tuple(cfg["strides"][stage + 1])[0] == 2:
+                    if stride == (1, 1, 1) and not paired:
+                        pair_out = x.shape[1] % 2 == 0
+                    elif stride[0] == 2 and stride != (1, 1, 1):
+                        d_in = 2 * x.shape[2] if paired else x.shape[1]
+                        pair_out = (d_in % 2 == 0
+                                    and (d_in // 2) % 2 == 0)
+                pair_in = paired and stride[0] == 2 and stride != (1, 1, 1)
+                assert pair_in == paired, (stage, stride)  # chain invariant
                 x = cnn_block(
                     features=features, kernel_size=cfg.get("kernel_size", 3),
-                    strides=stride, dtype=self.dtype,
-                    name=f"stage{stage}")(x)
-            outputs[f"C{stage}"] = x
+                    strides=stride, dtype=self.dtype, pair_in=pair_in,
+                    pair_out=pair_out, name=f"stage{stage}")(x)
+                paired = pair_out
+            from transoar_tpu.ops.conv3d import unpair
+
+            # C-outputs stay in the normal layout for any consumer; when
+            # the stage is not a required decoder input, the unpair is dead
+            # code XLA removes (the next stage reads the paired tensor).
+            outputs[f"C{stage}"] = unpair(x) if paired else x
             features *= 2
         return outputs
 

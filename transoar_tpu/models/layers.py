@@ -62,11 +62,17 @@ class InstanceNorm(nn.Module):
 
 
 class ConvInReLU(nn.Module):
-    """Conv3D + InstanceNorm + ReLU (one half of EncoderCnnBlock)."""
+    """Conv3D + InstanceNorm + ReLU (one half of EncoderCnnBlock).
+
+    ``pair_mode`` is threaded to ``FastConv3D`` (paired-depth encoder
+    chain); InstanceNorm and ReLU are layout-agnostic — the pair axis is
+    just another spatial axis for the per-channel statistics.
+    """
     features: int
     kernel_size: int = 3
     strides: Sequence[int] = (1, 1, 1)
     dtype: jnp.dtype = jnp.bfloat16
+    pair_mode: str = "none"
 
     @nn.compact
     def __call__(self, x):
@@ -75,25 +81,42 @@ class ConvInReLU(nn.Module):
         x = FastConv3D(
             self.features, kernel_size=(self.kernel_size,) * 3,
             strides=tuple(self.strides), use_bias=False,
-            dtype=self.dtype)(x)
+            dtype=self.dtype, pair_mode=self.pair_mode)(x)
         x = InstanceNorm(dtype=self.dtype)(x)
         return nn.relu(x)
 
 
 class EncoderCnnBlock(nn.Module):
     """One backbone stage: strided Conv-IN-ReLU then unit-stride Conv-IN-ReLU
-    (reference encoder_blocks.py:28-54)."""
+    (reference encoder_blocks.py:28-54).
+
+    ``pair_in`` / ``pair_out`` select the paired-depth chain layout: a
+    stage receiving paired input runs the parity conv without any pair
+    split; a stage emitting paired output lets the NEXT stage do the same.
+    The only strided depth copy left is pairing the second conv's input —
+    at the stage's own (already downsampled) resolution.
+    """
     features: int
     kernel_size: int = 3
     strides: Sequence[int] = (1, 1, 1)
     dtype: jnp.dtype = jnp.bfloat16
+    pair_in: bool = False
+    pair_out: bool = False
 
     @nn.compact
     def __call__(self, x):
+        s = tuple(self.strides)
+        if s == (1, 1, 1):  # full-resolution stage 0
+            assert not self.pair_in
+            a_mode = "out" if self.pair_out else "none"
+            b_mode = "both" if self.pair_out else "none"
+        else:
+            a_mode = "in" if self.pair_in else "none"
+            b_mode = "out" if self.pair_out else "none"
         x = ConvInReLU(self.features, self.kernel_size, self.strides,
-                       dtype=self.dtype)(x)
+                       dtype=self.dtype, pair_mode=a_mode)(x)
         x = ConvInReLU(self.features, self.kernel_size, (1, 1, 1),
-                       dtype=self.dtype)(x)
+                       dtype=self.dtype, pair_mode=b_mode)(x)
         return x
 
 

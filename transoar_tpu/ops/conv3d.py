@@ -186,6 +186,130 @@ def conv3d_parity(x, w, strides):
     return y1 + y2 + y0
 
 
+def pair(x):
+    """[B, D, *rest] -> [B, 2, D/2, *rest]: even/odd depth planes as two
+    contiguous blocks. The ONLY strided depth copy in the paired-chain
+    encoder path — applied once to the raw 1-channel input (~17 MB) instead
+    of at every stage boundary (PERFORMANCE.md §Next targets: the parity
+    conv's pair-axis split cost ~5 ms/step in layout copies)."""
+    B, D = x.shape[:2]
+    assert D % 2 == 0, x.shape
+    x2 = x.reshape(B, D // 2, 2, *x.shape[2:])
+    return jnp.swapaxes(x2, 1, 2)
+
+
+def unpair(xp):
+    """Inverse of ``pair``: [B, 2, D/2, *rest] -> [B, D, *rest]."""
+    B, two, Do = xp.shape[:3]
+    assert two == 2, xp.shape
+    return jnp.swapaxes(xp, 1, 2).reshape(B, 2 * Do, *xp.shape[3:])
+
+
+def _shift_back(t):
+    """t'[j] = t[j-1] along axis 1 (zero at j=0)."""
+    return jnp.pad(t[:, :-1], ((0, 0), (1, 0)) + ((0, 0),) * (t.ndim - 2))
+
+
+def _shift_fwd(t):
+    """t'[j] = t[j+1] along axis 1 (zero at j=last)."""
+    return jnp.pad(t[:, 1:], ((0, 0), (0, 1)) + ((0, 0),) * (t.ndim - 2))
+
+
+def conv3d_pair_split(xp, w, strides=(1, 1, 1)):
+    """Stride-1 KD=3 conv, paired depth IN and OUT (split-style: one 2D
+    conv per depth tap over the full even+odd batch, then pair-aware
+    depth-shifted accumulation).
+
+    out_even[j] = w0@odd[j-1] + w1@even[j] + w2@odd[j]
+    out_odd[j]  = w0@even[j]  + w1@odd[j]  + w2@even[j+1]
+
+    Identical FLOPs to ``conv3d_split``; all shifts slice the leading
+    half-depth axis (never strided), and both output halves are written as
+    contiguous blocks — the downstream parity conv reads them for free.
+    """
+    B, two, Do, H, W, C = xp.shape
+    KD, KH, KW, _, F = w.shape
+    sd, sh, sw = strides
+    assert two == 2 and KD == 3 and sd == 1, (xp.shape, w.shape, strides)
+    ph, pw = (KH - 1) // 2, (KW - 1) // 2
+
+    xb = xp.reshape(B * 2 * Do, H, W, C)
+    Ho = (H + 2 * ph - KH) // sh + 1
+    Wo = (W + 2 * pw - KW) // sw + 1
+    y = []
+    for kd in range(KD):
+        yk = jax.lax.conv_general_dilated(
+            xb, w[kd], (sh, sw), ((ph, ph), (pw, pw)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=xp.dtype)
+        y.append(yk.reshape(B, 2, Do, Ho, Wo, F))
+    e = [yk[:, 0] for yk in y]
+    o = [yk[:, 1] for yk in y]
+    out_e = _shift_back(o[0]) + e[1] + o[2]
+    out_o = e[0] + o[1] + _shift_fwd(e[2])
+    return jnp.stack([out_e, out_o], axis=1)
+
+
+def conv3d_pair_stack(xp, w, strides=(1, 1, 1)):
+    """Stride-1 KD=3 conv, paired IN/OUT, stack-style: the three depth taps
+    of each output half are channel-concatenated (C -> 3C) and convolved in
+    ONE 2D conv per half. Wins over ``conv3d_pair_split`` at small C where
+    the lane concat is nearly free (the same regime where ``conv3d`` beats
+    ``conv3d_split``, PERFORMANCE.md §Per-layer conv variants)."""
+    B, two, Do, H, W, C = xp.shape
+    KD, KH, KW, _, F = w.shape
+    sd, sh, sw = strides
+    assert two == 2 and KD == 3 and sd == 1, (xp.shape, w.shape, strides)
+    ph, pw = (KH - 1) // 2, (KW - 1) // 2
+    Ho = (H + 2 * ph - KH) // sh + 1
+    Wo = (W + 2 * pw - KW) // sw + 1
+    w2 = jnp.transpose(w, (1, 2, 0, 3, 4)).reshape(KH, KW, KD * C, F)
+
+    def conv(xs):
+        out = jax.lax.conv_general_dilated(
+            xs.reshape(B * Do, H, W, KD * C), w2, (sh, sw),
+            ((ph, ph), (pw, pw)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=xp.dtype)
+        return out.reshape(B, Do, Ho, Wo, F)
+
+    e, o = xp[:, 0], xp[:, 1]
+    out_e = conv(jnp.concatenate([_shift_back(o), e, o], axis=-1))
+    out_o = conv(jnp.concatenate([e, o, _shift_fwd(e)], axis=-1))
+    return jnp.stack([out_e, out_o], axis=1)
+
+
+def conv3d_parity_pairin(xp, w, strides):
+    """Depth-stride-2 parity conv consuming ALREADY-PAIRED input
+    [B, 2, D/2, H, W, C] (the output layout of ``conv3d_pair_*``) — the
+    pair-axis split that ``conv3d_parity`` pays for on every call is free.
+    Output is normal [B, D/2, Ho, Wo, F] (the next stride-1 conv re-pairs
+    via its own output layout)."""
+    B, two, Do, H, W, C = xp.shape
+    KD, KH, KW, _, F = w.shape
+    sd, sh, sw = strides
+    assert two == 2 and sd == 2 and KD == 3, (xp.shape, w.shape, strides)
+    ph, pw = (KH - 1) // 2, (KW - 1) // 2
+    Ho = (H + 2 * ph - KH) // sh + 1
+    Wo = (W + 2 * pw - KW) // sw + 1
+    pads = ((ph, ph), (pw, pw))
+
+    def conv2d(xs, ws):
+        out = jax.lax.conv_general_dilated(
+            xs.reshape(B * Do, H, W, C), ws, (sh, sw), pads,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=xp.dtype)
+        return out.reshape(B, Do, Ho, Wo, F)
+
+    x_even, x_odd = xp[:, 0], xp[:, 1]
+    # out[d] = w0 @ x[2d-1] + w1 @ x[2d] + w2 @ x[2d+1]
+    #        = w0 @ odd[d-1] + w1 @ even[d] + w2 @ odd[d]
+    y1 = conv2d(x_even, w[1])
+    y2 = conv2d(x_odd, w[2])
+    y0 = _shift_back(conv2d(x_odd, w[0]))
+    return y1 + y2 + y0
+
+
 def conv3d_native(x, w, strides=(1, 1, 1)):
     """XLA's native 3D conv path with torch-style symmetric padding.
 
@@ -249,7 +373,19 @@ import flax.linen as nn  # noqa: E402
 class FastConv3D(nn.Module):
     """Drop-in conv layer using the depth-decomposed path for K>1 and a
     plain matmul for 1x1x1 convs (XLA's conv1x1 path is 3x slower than the
-    equivalent dot)."""
+    equivalent dot).
+
+    ``pair_mode`` selects the paired-depth chain layout (encoder stages,
+    PERFORMANCE.md §Next targets — kills the parity conv's strided
+    pair-axis split copies):
+      - "none": normal [B, D, H, W, C] in and out.
+      - "in":   input is paired [B, 2, D/2, H, W, C]; depth-stride-2 parity
+                conv; output normal [B, D/2, Ho, Wo, F].
+      - "out":  input normal, stride 1; output paired (input is paired
+                internally — the one remaining strided copy, placed on the
+                smallest tensor in the stage).
+      - "both": paired in AND out, stride 1.
+    """
     features: int
     kernel_size: tuple
     strides: tuple = (1, 1, 1)
@@ -257,6 +393,7 @@ class FastConv3D(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     kernel_init: object = nn.initializers.lecun_normal()
     bias_init: object = nn.initializers.zeros
+    pair_mode: str = "none"
 
     @nn.compact
     def __call__(self, x):
@@ -266,6 +403,25 @@ class FastConv3D(nn.Module):
         kernel = self.param("kernel", self.kernel_init,
                             (*ks, C, self.features), jnp.float32)
         kernel = kernel.astype(self.dtype)
+        if self.pair_mode != "none":
+            assert ks == (3, 3, 3), (self.pair_mode, ks)
+            strides = tuple(self.strides)
+            if self.pair_mode == "in":
+                assert strides[0] == 2, strides
+                out = conv3d_parity_pairin(x, kernel, strides)
+            else:
+                assert strides == (1, 1, 1), (self.pair_mode, strides)
+                if self.pair_mode == "out":
+                    x = pair(x)
+                if C <= 8 or (C <= 32 and x.shape[0] == 1):
+                    out = conv3d_pair_stack(x, kernel, strides)
+                else:
+                    out = conv3d_pair_split(x, kernel, strides)
+            if self.use_bias:
+                bias = self.param("bias", self.bias_init, (self.features,),
+                                  jnp.float32)
+                out = out + bias.astype(self.dtype)
+            return out
         if ks == (1, 1, 1) and tuple(self.strides) == (1, 1, 1):
             out = jnp.einsum("bdhwc,cf->bdhwf", x,
                              kernel.reshape(C, self.features))
