@@ -60,7 +60,12 @@ class Encoder(nn.Module):
         # conv reads its halves contiguously instead of strided-slicing the
         # full-resolution tensor. Only stages whose C-output is NOT consumed
         # by the decoder participate (required stages stay normal-layout).
-        chain = bool(cfg.get("pair_chain", True)) and not use_swin
+        # MEASURED OFF by default: end-to-end the paired layout makes XLA
+        # pick worse conv2d layouts than it saves in pair-split copies
+        # (batch 1: 15.7 -> 14.7 vol/s, batch 2: 12.1 -> 8.7 — isolated
+        # wins do not transfer, PERFORMANCE.md). Kept config-gated with a
+        # full numeric-equivalence test for future layout experiments.
+        chain = bool(cfg.get("pair_chain", False)) and not use_swin
         req = set(required_stages(cfg)) if chain else set()
         k3 = cfg.get("kernel_size", 3) == 3
         paired = False  # layout of x entering the current stage
