@@ -1,0 +1,111 @@
+"""Capture a device trace of the flagship train step and print the op-level
+time attribution (the round-2/3 optimization workflow, PERFORMANCE.md
+§Measurement notes).
+
+Runs the bench workload (donated chained multi-step dispatches so nothing
+is memoized) under ``jax.profiler``, then parses the perfetto trace and
+aggregates device time by HLO op-name prefix.
+
+Usage: python scripts/profile_step.py [--batch_size 2] [--steps 3]
+       [--top 40] [--patch 256 256 128]
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def capture(batch_size, patch, steps, scan_steps, logdir):
+    import jax
+
+    from bench import build_benchmark
+    from transoar_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    state, train_step, batch = build_benchmark(batch_size, patch,
+                                               scan_steps=scan_steps)
+    rng = jax.random.key(0)
+    # warmup/compile outside the trace
+    state, losses = train_step(state, batch, rng)
+    float(losses["total"][-1])
+
+    jax.profiler.start_trace(str(logdir))
+    for _ in range(steps):
+        state, losses = train_step(state, batch, rng)
+    float(losses["total"][-1])
+    jax.profiler.stop_trace()
+
+
+def attribute(logdir, top, total_dispatches):
+    traces = sorted(glob.glob(
+        str(Path(logdir) / "**" / "*.trace.json.gz"), recursive=True))
+    assert traces, f"no trace under {logdir}"
+    with gzip.open(traces[-1], "rt") as f:
+        data = json.load(f)
+    events = data["traceEvents"]
+
+    # device lanes: process names containing "TPU" / "/device:"
+    pid_names = {e["pid"]: e["args"].get("name", "")
+                 for e in events if e.get("ph") == "M"
+                 and e.get("name") == "process_name"}
+    dev_pids = {pid for pid, name in pid_names.items()
+                if "TPU" in name or "/device" in name.lower()}
+    # only the "XLA Ops" lane holds leaf HLOs; module/region lanes
+    # ("XLA Modules", "Steps") wrap them and would double-count
+    tid_names = {(e["pid"], e["tid"]): e["args"].get("name", "")
+                 for e in events if e.get("ph") == "M"
+                 and e.get("name") == "thread_name"}
+    op_lanes = {k for k, name in tid_names.items()
+                if k[0] in dev_pids and "op" in name.lower()}
+
+    by_op = collections.Counter()
+    by_cat = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_lanes:
+            continue
+        dur = e.get("dur", 0) / 1e3  # us -> ms
+        name = e.get("name", "?")
+        # strip xla uniquifier suffixes: fusion.123 -> fusion
+        base = name.split(".")[0]
+        by_op[name] += dur
+        by_cat[base] += dur
+        total += dur
+
+    n = max(total_dispatches, 1)
+    print(f"\ndevice total: {total:.1f} ms over {total_dispatches} steps "
+          f"=> {total / n:.2f} ms/step")
+    print(f"\nby category ({'ms/step':>9}):")
+    for base, ms in by_cat.most_common(25):
+        print(f"{ms / n:9.3f}  {100 * ms / total:5.1f}  {base}")
+    print(f"\nby op ({'ms/step':>9}):")
+    for name, ms in by_op.most_common(top):
+        print(f"{ms / n:9.3f}  {100 * ms / total:5.1f}  {name[:110]}")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch_size", type=int, default=2)
+    parser.add_argument("--patch", type=int, nargs=3,
+                        default=[256, 256, 128])
+    parser.add_argument("--steps", type=int, default=2,
+                        help="traced multi-step dispatches")
+    parser.add_argument("--scan_steps", type=int, default=4)
+    parser.add_argument("--top", type=int, default=40)
+    parser.add_argument("--logdir", default="logs/profile_step")
+    args = parser.parse_args()
+
+    capture(args.batch_size, tuple(args.patch), args.steps, args.scan_steps,
+            args.logdir)
+    attribute(args.logdir, args.top, args.steps * args.scan_steps)
+
+
+if __name__ == "__main__":
+    main()
