@@ -47,6 +47,11 @@ def build_benchmark(batch_size, patch, scan_steps=8, microbatch=None):
     config = flagship_config(batch_size=batch_size, patch_size=patch)
     # encoder remat trades ~30% step time for HBM; only needed at batch >= 2
     config["backbone"]["remat"] = False
+    # perf experiment hook: depth-packed stage-0 chain (ops/conv3d.py)
+    import os
+    pack = int(os.environ.get("TRANSOAR_STAGE0_PACK", "0"))
+    if pack:
+        config["backbone"]["stage0_pack"] = pack
     # The parity conv variant fixed the old batch>=2 conv slowdown;
     # plain batching now beats the per-sample lax.map path (12.1 vs 11.2
     # vol/s at batch 2) — microbatch stays available as an option.

@@ -238,3 +238,36 @@ def test_conv3d_pair_gradients_match(rng):
     rx, rw = jax.grad(loss_ref, argnums=(0, 1))(x, w)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-4)
+
+
+def test_conv3d_packed_chain_matches_lax(rng):
+    from transoar_tpu.ops.conv3d import (conv3d_packed_chain, pack_depth,
+                                         unpack_depth)
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 6, 5, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 4)).astype(np.float32))
+    xp = pack_depth(x, 4)
+    np.testing.assert_array_equal(np.asarray(unpack_depth(xp, 4)),
+                                  np.asarray(x))
+    ours = unpack_depth(conv3d_packed_chain(xp, w, pack=4), 4)
+    ref = _ref_conv3d(x, w, (1, 1, 1))
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-4)
+
+
+def test_encoder_block_packed_chain_matches_normal(rng):
+    """The depth-packed stage-0 chain (pack -> conv/IN/ReLU x2 -> unpack)
+    is numerically the normal EncoderCnnBlock with the same params."""
+    import jax
+
+    from transoar_tpu.models.layers import EncoderCnnBlock
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 6, 5, 1)).astype(np.float32))
+    norm = EncoderCnnBlock(features=6, strides=(1, 1, 1),
+                           dtype=jnp.float32)
+    packed = EncoderCnnBlock(features=6, strides=(1, 1, 1),
+                             dtype=jnp.float32, packed_chain=4)
+    params = norm.init(jax.random.key(0), x)
+    ref = norm.apply(params, x)
+    ours = packed.apply(params, x)  # identical param tree by construction
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

@@ -115,10 +115,17 @@ class Encoder(nn.Module):
                                     and (d_in // 2) % 2 == 0)
                 pair_in = paired and stride[0] == 2 and stride != (1, 1, 1)
                 assert pair_in == paired, (stage, stride)  # chain invariant
+                # depth-packed lanes for the full-resolution stride-1 stage:
+                # C=start_channels starves the MXU lanes in every matmul
+                # orientation (fwd/dx/dw); packing depth quads into channels
+                # recovers ~4x lane width (ops/conv3d.pack_depth).
+                packed = (int(cfg.get("stage0_pack", 0))
+                          if stride == (1, 1, 1) and not pair_out else 0)
                 x = cnn_block(
                     features=features, kernel_size=cfg.get("kernel_size", 3),
                     strides=stride, dtype=self.dtype, pair_in=pair_in,
-                    pair_out=pair_out, name=f"stage{stage}")(x)
+                    pair_out=pair_out, packed_chain=packed,
+                    name=f"stage{stage}")(x)
                 paired = pair_out
             from transoar_tpu.ops.conv3d import unpair
 

@@ -42,14 +42,23 @@ class InstanceNorm(nn.Module):
     """
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    # depth-packed lanes ([..., pack*C], see ops/conv3d.pack_depth): the
+    # pack blocks are depth slices of the SAME channel, so statistics
+    # aggregate across blocks as well as spatial axes — numerically the
+    # per-channel InstanceNorm of the unpacked layout.
+    packs: int = 1
 
     @nn.compact
     def __call__(self, x):
-        C = x.shape[-1]
+        C = x.shape[-1] // self.packs
         axes = tuple(range(1, x.ndim - 1))
         mean = jnp.mean(x.astype(jnp.float32), axis=axes, keepdims=True)
         mean2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axes,
                          keepdims=True)
+        if self.packs > 1:
+            shape = mean.shape[:-1] + (self.packs, C)
+            mean = jnp.mean(mean.reshape(shape), axis=-2)
+            mean2 = jnp.mean(mean2.reshape(shape), axis=-2)
         var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
         inv = jax.lax.rsqrt(var + self.epsilon)
 
@@ -58,6 +67,9 @@ class InstanceNorm(nn.Module):
         # fold (mean, inv, affine) into one multiply-add in compute dtype
         mul = (inv * scale).astype(self.dtype)
         add = (bias - mean * inv * scale).astype(self.dtype)
+        if self.packs > 1:
+            mul = jnp.concatenate([mul] * self.packs, axis=-1)
+            add = jnp.concatenate([add] * self.packs, axis=-1)
         return x.astype(self.dtype) * mul + add
 
 
@@ -73,6 +85,7 @@ class ConvInReLU(nn.Module):
     strides: Sequence[int] = (1, 1, 1)
     dtype: jnp.dtype = jnp.bfloat16
     pair_mode: str = "none"
+    packed_chain: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -81,8 +94,10 @@ class ConvInReLU(nn.Module):
         x = FastConv3D(
             self.features, kernel_size=(self.kernel_size,) * 3,
             strides=tuple(self.strides), use_bias=False,
-            dtype=self.dtype, pair_mode=self.pair_mode)(x)
-        x = InstanceNorm(dtype=self.dtype)(x)
+            dtype=self.dtype, pair_mode=self.pair_mode,
+            packed_chain=self.packed_chain)(x)
+        x = InstanceNorm(dtype=self.dtype,
+                         packs=max(self.packed_chain, 1))(x)
         return nn.relu(x)
 
 
@@ -102,10 +117,27 @@ class EncoderCnnBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     pair_in: bool = False
     pair_out: bool = False
+    # depth-pack factor for stride-1 stages: runs BOTH convs (+IN/ReLU) in
+    # the depth-packed lane layout (ops/conv3d.pack_depth) so the small
+    # channel count stops starving the MXU; one pack + one unpack copy per
+    # stage. Requires stride (1,1,1), kernel 3 and D % pack == 0.
+    packed_chain: int = 0
 
     @nn.compact
     def __call__(self, x):
         s = tuple(self.strides)
+        if (self.packed_chain and s == (1, 1, 1) and self.kernel_size == 3
+                and x.shape[1] % self.packed_chain == 0):
+            from transoar_tpu.ops.conv3d import pack_depth, unpack_depth
+
+            assert not (self.pair_in or self.pair_out)
+            pack = self.packed_chain
+            x = pack_depth(x, pack)
+            x = ConvInReLU(self.features, self.kernel_size, s,
+                           dtype=self.dtype, packed_chain=pack)(x)
+            x = ConvInReLU(self.features, self.kernel_size, s,
+                           dtype=self.dtype, packed_chain=pack)(x)
+            return unpack_depth(x, pack)
         if s == (1, 1, 1):  # full-resolution stage 0
             assert not self.pair_in
             a_mode = "out" if self.pair_out else "none"

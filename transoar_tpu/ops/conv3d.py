@@ -147,6 +147,69 @@ def conv3d_packed(x, w, pack=4):
     return jnp.moveaxis(y, 4, 2).reshape(B, D, H, W, F)
 
 
+def pack_depth(x, pack):
+    """[B, D, H, W, C] -> [B, D/pack, H, W, pack*C]: fold ``pack``
+    consecutive depth slices into the channel (lane) axis, depth offset g
+    occupying lanes [g*C, (g+1)*C).
+
+    The MXU hates C=24 (19% lane utilization caps every matmul orientation
+    of the stage-0 convs — fwd, dx and dw alike, see the batch-2 trace in
+    PERFORMANCE.md); packing depth quads widens the contraction and output
+    channels ~4x. One strided-depth copy, paid once per stage-0 chain."""
+    B, D, H, W, C = x.shape
+    assert D % pack == 0, (x.shape, pack)
+    xp = x.reshape(B, D // pack, pack, H, W, C)
+    return jnp.moveaxis(xp, 2, 4).reshape(B, D // pack, H, W, pack * C)
+
+
+def unpack_depth(xp, pack):
+    """Inverse of ``pack_depth``."""
+    B, Dp, H, W, PC = xp.shape
+    C = PC // pack
+    x = xp.reshape(B, Dp, H, W, pack, C)
+    return jnp.moveaxis(x, 4, 2).reshape(B, Dp * pack, H, W, C)
+
+
+def _packed_band_kernel(w, pack, dtype):
+    """Block-banded 2D kernel for depth-packed KD=3 convs: output depth
+    block g draws tap kd from input halo block g + kd (input halo layout:
+    [last-C-of-prev | pack*C | first-C-of-next])."""
+    KD, KH, KW, C, F = w.shape
+    wp = jnp.zeros((KH, KW, (pack + 2) * C, pack * F), dtype)
+    for g in range(pack):
+        for kd in range(KD):
+            j = g + kd
+            wp = wp.at[:, :, j * C:(j + 1) * C,
+                       g * F:(g + 1) * F].set(w[kd].astype(dtype))
+    return wp
+
+
+def conv3d_packed_chain(xp, w, pack):
+    """Stride-1 KD=3 conv on ALREADY-PACKED input [B, Dp, H, W, pack*C],
+    output packed [B, Dp, H, W, pack*F] — the packed stage-0 chain runs
+    both convs (and InstanceNorm/ReLU) in this layout, paying the
+    pack/unpack strided copies once per stage instead of per conv.
+
+    The depth halo needed by the band (one slice each side of the pack) is
+    rebuilt from the packed layout itself: the last C lanes of row q-1 and
+    the first C lanes of row q+1. Torch-style symmetric padding.
+    """
+    B, Dp, H, W, PC = xp.shape
+    KD, KH, KW, C, F = w.shape
+    assert PC == pack * C and KD == 3, (xp.shape, w.shape, pack)
+    prev = _shift_back(xp[..., (pack - 1) * C:])   # x[pack*q - 1]
+    nxt = _shift_fwd(xp[..., :C])                  # x[pack*(q+1)]
+    xh = jnp.concatenate([prev, xp, nxt], axis=-1)
+    wp = _packed_band_kernel(w, pack, xp.dtype)
+    ph, pw = (KH - 1) // 2, (KW - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        xh.reshape(B * Dp, H, W, (pack + 2) * C), wp, (1, 1),
+        ((ph, ph), (pw, pw)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=xp.dtype)
+    return y.reshape(B, Dp, H, W, pack * F)
+
+
 def conv3d_parity(x, w, strides):
     """Stride-2-depth conv via parity decomposition: split D into even/odd
     rows with a pair-axis reshape (NO strided slicing — strided depth
@@ -394,12 +457,25 @@ class FastConv3D(nn.Module):
     kernel_init: object = nn.initializers.lecun_normal()
     bias_init: object = nn.initializers.zeros
     pair_mode: str = "none"
+    packed_chain: int = 0  # pack factor; input/output depth-packed lanes
 
     @nn.compact
     def __call__(self, x):
-        C = x.shape[-1]
         x = x.astype(self.dtype)
         ks = tuple(self.kernel_size)
+        if self.packed_chain:
+            pack = self.packed_chain
+            assert ks == (3, 3, 3) and tuple(self.strides) == (1, 1, 1)
+            C = x.shape[-1] // pack
+            kernel = self.param("kernel", self.kernel_init,
+                                (*ks, C, self.features), jnp.float32)
+            out = conv3d_packed_chain(x, kernel.astype(self.dtype), pack)
+            if self.use_bias:
+                bias = self.param("bias", self.bias_init, (self.features,),
+                                  jnp.float32)
+                out = out + jnp.tile(bias, pack).astype(self.dtype)
+            return out
+        C = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (*ks, C, self.features), jnp.float32)
         kernel = kernel.astype(self.dtype)
