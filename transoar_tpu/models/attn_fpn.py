@@ -118,9 +118,15 @@ class Encoder(nn.Module):
                 # depth-packed lanes for the full-resolution stride-1 stage:
                 # C=start_channels starves the MXU lanes in every matmul
                 # orientation (fwd/dx/dw); packing depth quads into channels
-                # recovers ~4x lane width (ops/conv3d.pack_depth).
+                # recovers ~4x lane width (ops/conv3d.pack_depth). Batch-
+                # gated: at batch 1 the stack variant already wins (15.7
+                # vol/s vs 12.7 packed); at batch >= 2 packing beats the
+                # split path 13.2 vs 12.1 (PERFORMANCE.md §Batch-2 op
+                # attribution). Inside lax.map microbatching the per-sample
+                # batch is 1, so the gate keeps that path on stack too.
                 packed = (int(cfg.get("stage0_pack", 0))
-                          if stride == (1, 1, 1) and not pair_out else 0)
+                          if stride == (1, 1, 1) and not pair_out
+                          and x.shape[0] >= 2 else 0)
                 x = cnn_block(
                     features=features, kernel_size=cfg.get("kernel_size", 3),
                     strides=stride, dtype=self.dtype, pair_in=pair_in,
