@@ -52,6 +52,11 @@ def build_benchmark(batch_size, patch, scan_steps=8, microbatch=None):
     pack = int(os.environ.get("TRANSOAR_STAGE0_PACK", "0"))
     if pack:
         config["backbone"]["stage0_pack"] = pack
+    pack2 = int(os.environ.get("TRANSOAR_STAGE1PLUS_PACK", "0"))
+    if pack2:
+        config["backbone"]["stage1plus_pack"] = pack2
+    if os.environ.get("TRANSOAR_PACK_B1"):
+        config["backbone"]["stage0_pack_batch1"] = True
     # The parity conv variant fixed the old batch>=2 conv slowdown;
     # plain batching now beats the per-sample lax.map path (12.1 vs 11.2
     # vol/s at batch 2) — microbatch stays available as an option.

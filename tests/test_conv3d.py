@@ -271,3 +271,20 @@ def test_encoder_block_packed_chain_matches_normal(rng):
     ours = packed.apply(params, x)  # identical param tree by construction
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_encoder_block_packed_second_matches_normal(rng):
+    """A strided stage with its second (stride-1) conv depth-packed equals
+    the normal block with the same params."""
+    import jax
+
+    from transoar_tpu.models.layers import EncoderCnnBlock
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 6, 6, 3)).astype(np.float32))
+    norm = EncoderCnnBlock(features=6, strides=(2, 2, 2), dtype=jnp.float32)
+    packed = EncoderCnnBlock(features=6, strides=(2, 2, 2),
+                             dtype=jnp.float32, packed_second=2)
+    params = norm.init(jax.random.key(0), x)
+    np.testing.assert_allclose(np.asarray(packed.apply(params, x)),
+                               np.asarray(norm.apply(params, x)),
+                               atol=2e-5, rtol=2e-5)

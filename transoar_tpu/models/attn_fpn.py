@@ -126,11 +126,18 @@ class Encoder(nn.Module):
                 # batch is 1, so the gate keeps that path on stack too.
                 packed = (int(cfg.get("stage0_pack", 0))
                           if stride == (1, 1, 1) and not pair_out
-                          and x.shape[0] >= 2 else 0)
+                          and (x.shape[0] >= 2
+                               or cfg.get("stage0_pack_batch1", False))
+                          else 0)
+                packed2 = (int(cfg.get("stage1plus_pack", 0))
+                           if stride != (1, 1, 1)
+                           and not (pair_in or pair_out)
+                           and x.shape[0] >= 2 else 0)
                 x = cnn_block(
                     features=features, kernel_size=cfg.get("kernel_size", 3),
                     strides=stride, dtype=self.dtype, pair_in=pair_in,
                     pair_out=pair_out, packed_chain=packed,
+                    packed_second=packed2,
                     name=f"stage{stage}")(x)
                 paired = pair_out
             from transoar_tpu.ops.conv3d import unpair

@@ -122,10 +122,27 @@ class EncoderCnnBlock(nn.Module):
     # channel count stops starving the MXU; one pack + one unpack copy per
     # stage. Requires stride (1,1,1), kernel 3 and D % pack == 0.
     packed_chain: int = 0
+    # pack factor for the SECOND (stride-1) conv of a strided stage.
+    packed_second: int = 0
 
     @nn.compact
     def __call__(self, x):
         s = tuple(self.strides)
+        if (self.packed_second and s != (1, 1, 1) and self.kernel_size == 3
+                and not (self.pair_in or self.pair_out)):
+            from transoar_tpu.ops.conv3d import pack_depth, unpack_depth
+
+            pack = self.packed_second
+            x = ConvInReLU(self.features, self.kernel_size, self.strides,
+                           dtype=self.dtype)(x)
+            if x.shape[1] % pack == 0:
+                x = pack_depth(x, pack)
+                x = ConvInReLU(self.features, self.kernel_size, (1, 1, 1),
+                               dtype=self.dtype, packed_chain=pack)(x)
+                return unpack_depth(x, pack)
+            x = ConvInReLU(self.features, self.kernel_size, (1, 1, 1),
+                           dtype=self.dtype)(x)
+            return x
         if (self.packed_chain and s == (1, 1, 1) and self.kernel_size == 3
                 and x.shape[1] % self.packed_chain == 0):
             from transoar_tpu.ops.conv3d import pack_depth, unpack_depth

@@ -194,20 +194,40 @@ def conv3d_packed_chain(xp, w, pack):
     rebuilt from the packed layout itself: the last C lanes of row q-1 and
     the first C lanes of row q+1. Torch-style symmetric padding.
     """
+    import os
+
     B, Dp, H, W, PC = xp.shape
     KD, KH, KW, C, F = w.shape
     assert PC == pack * C and KD == 3, (xp.shape, w.shape, pack)
-    prev = _shift_back(xp[..., (pack - 1) * C:])   # x[pack*q - 1]
-    nxt = _shift_fwd(xp[..., :C])                  # x[pack*(q+1)]
-    xh = jnp.concatenate([prev, xp, nxt], axis=-1)
-    wp = _packed_band_kernel(w, pack, xp.dtype)
     ph, pw = (KH - 1) // 2, (KW - 1) // 2
-    y = jax.lax.conv_general_dilated(
-        xh.reshape(B * Dp, H, W, (pack + 2) * C), wp, (1, 1),
-        ((ph, ph), (pw, pw)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=xp.dtype)
-    return y.reshape(B, Dp, H, W, pack * F)
+
+    def run(xp, w):
+        prev = _shift_back(xp[..., (pack - 1) * C:])   # x[pack*q - 1]
+        nxt = _shift_fwd(xp[..., :C])                  # x[pack*(q+1)]
+        xh = jnp.concatenate([prev, xp, nxt], axis=-1)
+        wp = _packed_band_kernel(w, pack, xp.dtype)
+        y = jax.lax.conv_general_dilated(
+            xh.reshape(B * Dp, H, W, (pack + 2) * C), wp, (1, 1),
+            ((ph, ph), (pw, pw)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=xp.dtype)
+        return y.reshape(B, Dp, H, W, pack * F)
+
+    if os.environ.get("TRANSOAR_PACK_REMAT", "0") == "1":
+        # rematerialize the halo tensor xh in the backward: saving it across
+        # fwd/bwd forces XLA to copy it between the fwd conv's layout and
+        # the dw correlation's layout (~7 ms/step of pure copies in the
+        # batch-2 trace); recomputed, it is built directly in the layout
+        # its consumer wants for one cheap concat pass.
+        from jax.ad_checkpoint import checkpoint_name
+
+        def named(xp, w):
+            return checkpoint_name(run(xp, w), "packed_conv_out")
+
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "packed_conv_out")
+        return jax.checkpoint(named, policy=policy)(xp, w)
+    return run(xp, w)
 
 
 def conv3d_parity(x, w, strides):
