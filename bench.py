@@ -57,6 +57,8 @@ def build_benchmark(batch_size, patch, scan_steps=8, microbatch=None):
         config["backbone"]["stage1plus_pack"] = pack2
     if os.environ.get("TRANSOAR_PACK_B1"):
         config["backbone"]["stage0_pack_batch1"] = True
+    if os.environ.get("TRANSOAR_ROI_MATMUL"):
+        config["neck"]["roi_matmul"] = True
     # The parity conv variant fixed the old batch>=2 conv slowdown;
     # plain batching now beats the per-sample lax.map path (12.1 vs 11.2
     # vol/s at batch 2) — microbatch stays available as an option.

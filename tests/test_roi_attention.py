@@ -65,3 +65,24 @@ def test_roi_weights_scatter_matches_dense():
         m_roi.apply(params, x, return_weights=True)["attn_weights"],
         np.float32)
     np.testing.assert_allclose(w_roi, w_dense, atol=2e-4)
+
+
+def test_roi_matmul_matches_gather():
+    """The one-hot-matmul RoI path equals the gather path (full model)."""
+    cfg = tiny_config(num_organs=2, qpo=1, precision="float32")
+    cfg["neck"]["dropout"] = 0.0
+    x = jnp.asarray(np.random.default_rng(2)
+                    .normal(size=(1, 32, 32, 16, 1)).astype(np.float32))
+
+    cfg_g = {**cfg, "neck": {**cfg["neck"], "roi_attention": True}}
+    cfg_m = {**cfg, "neck": {**cfg["neck"], "roi_attention": True,
+                             "roi_matmul": True}}
+    m_g = build_transoarnet(cfg_g)
+    m_m = build_transoarnet(cfg_m)
+    params = m_g.init(jax.random.key(0), x)
+    out_g = m_g.apply(params, x)
+    out_m = m_m.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_m["pred_logits"]),
+                               np.asarray(out_g["pred_logits"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_m["pred_boxes"]),
+                               np.asarray(out_g["pred_boxes"]), atol=2e-4)

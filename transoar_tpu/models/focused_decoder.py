@@ -30,6 +30,7 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -114,6 +115,12 @@ class FocusedAttn(nn.Module):
     proj_drop: float = 0.1
     share_qk_proj: bool = True  # reference quirk, focused_decoder.py:235
     dtype: jnp.dtype = jnp.bfloat16
+    # express the RoI crop gather as a one-hot matmul: the backward becomes
+    # a transposed matmul on the MXU instead of a scatter-add (the gather's
+    # bwd measured ~10 ms/step at batch 2). The one-hot is built in-graph
+    # from the small static index table (NOT passed as an 80 MB literal —
+    # the axon remote-compile service caps request size).
+    roi_matmul: bool = False
 
     @nn.compact
     def __call__(self, q, k, v, bias, roi=None, deterministic=True,
@@ -151,10 +158,19 @@ class FocusedAttn(nn.Module):
             T = idx.shape[1]
 
             flat = idx.reshape(-1)  # [O*T]
-            k_r = jnp.take(kh, flat, axis=1).reshape(
-                B, O, T, self.num_heads, head_dim)
-            v_r = jnp.take(vh, flat, axis=1).reshape(
-                B, O, T, self.num_heads, head_dim)
+            if self.roi_matmul:
+                # padded slots point at token 0, exactly like the take path;
+                # their logits are masked by pad_bias downstream
+                onehot = jax.nn.one_hot(flat, S, dtype=self.dtype)
+                k_r = jnp.einsum("ps,bshd->bphd", onehot, kh).reshape(
+                    B, O, T, self.num_heads, head_dim)
+                v_r = jnp.einsum("ps,bshd->bphd", onehot, vh).reshape(
+                    B, O, T, self.num_heads, head_dim)
+            else:
+                k_r = jnp.take(kh, flat, axis=1).reshape(
+                    B, O, T, self.num_heads, head_dim)
+                v_r = jnp.take(vh, flat, axis=1).reshape(
+                    B, O, T, self.num_heads, head_dim)
             q_r = qh.reshape(B, O, qpo, self.num_heads, head_dim)
 
             logits = jnp.einsum("boqhd,bothd->bhoqt", q_r, k_r)
@@ -203,6 +219,7 @@ class FocusedDecoderLayer(nn.Module):
     dropout: float = 0.1
     share_qk_proj: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    roi_matmul: bool = False
 
     @nn.compact
     def __call__(self, tgt, query_pos, src, src_pos, bias, roi=None,
@@ -223,6 +240,7 @@ class FocusedDecoderLayer(nn.Module):
         ca, weights = FocusedAttn(
             self.num_heads, self.num_organs, proj_drop=0.1,
             share_qk_proj=self.share_qk_proj, dtype=self.dtype,
+            roi_matmul=self.roi_matmul,
             name="cross_attn")(
                 tgt + query_pos, src + src_pos, src, bias, roi=roi,
                 deterministic=deterministic, return_weights=return_weights)
@@ -291,6 +309,7 @@ class FocusedDecoder(nn.Module):
                 dropout=cfg["dropout"],
                 share_qk_proj=cfg.get("share_qk_proj", True),
                 dtype=self.dtype,
+                roi_matmul=cfg.get("roi_matmul", False),
                 name=f"layer{i}")(
                     tgt, query_pos, src, pos, bias, roi, deterministic,
                     return_weights and i == cfg["dec_layers"] - 1)
