@@ -107,6 +107,25 @@ def main():
     timed("pallas", packed_conv)
     timed("xla", ref_conv)
 
+    if os.environ.get("TRANSOAR_PK_TRACE"):
+        # trace 3 pallas iterations for op-level attribution
+        def step(x, w, co, pback):
+            _, (dx, dw) = jax.value_and_grad(
+                lambda x, w: jnp.sum((packed_conv(x, w) * co)
+                                     .astype(jnp.float32)),
+                argnums=(0, 1))(x, w)
+            return (dx * 0.001 + x).astype(jnp.bfloat16)
+
+        sd = jax.jit(step, donate_argnums=(0,))
+        xx = x + jnp.zeros((), x.dtype)
+        xx = sd(xx, w, co, pback)
+        float(xx[0, 0, 0, 0].astype(jnp.float32))
+        jax.profiler.start_trace("logs/pk_trace")
+        for _ in range(3):
+            xx = sd(xx, w, co, pback)
+        float(xx[0, 0, 0, 0].astype(jnp.float32))
+        jax.profiler.stop_trace()
+
 
 if __name__ == "__main__":
     main()

@@ -206,11 +206,16 @@ def conv3d_packed_chain(xp, w, pack):
         nxt = _shift_fwd(xp[..., :C])                  # x[pack*(q+1)]
         xh = jnp.concatenate([prev, xp, nxt], axis=-1)
         wp = _packed_band_kernel(w, pack, xp.dtype)
-        y = jax.lax.conv_general_dilated(
-            xh.reshape(B * Dp, H, W, (pack + 2) * C), wp, (1, 1),
-            ((ph, ph), (pw, pw)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=xp.dtype)
+        xh_flat = xh.reshape(B * Dp, H, W, (pack + 2) * C)
+        if os.environ.get("TRANSOAR_PALLAS_CONV", "0") == "1":
+            from transoar_tpu.ops.pallas.packed_conv import packed_conv
+
+            y = packed_conv(xh_flat, wp)
+        else:
+            y = jax.lax.conv_general_dilated(
+                xh_flat, wp, (1, 1), ((ph, ph), (pw, pw)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=xp.dtype)
         return y.reshape(B, Dp, H, W, pack * F)
 
     if os.environ.get("TRANSOAR_PACK_REMAT", "0") == "1":

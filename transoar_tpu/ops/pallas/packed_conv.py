@@ -19,16 +19,26 @@ tiling:
   program (TPU Pallas grids execute sequentially on the single
   TensorCore, so output-block accumulation across grid steps is sound).
 
-The H halo is handled by padding H by one zero row on each side in XLA
-(fused with the halo-concat pass that builds the packed input) and giving
-each program three auto-pipelined input refs: the TH-row main block plus
-two single-row blocks — BlockSpecs with different block shapes may index
-at different granularities, so the 1-row halo blocks can sit at arbitrary
-row offsets without manual DMA.
+The H halo comes from three auto-pipelined input refs per program: the
+TH-row main block plus two single-row blocks at clamped row offsets
+(BlockSpecs with different block shapes index at different granularities)
+zeroed at the H boundary in-kernel — no padded HBM copy, no manual DMA.
 
 ``packed_conv`` wraps fwd/dx/dw in a ``jax.custom_vjp`` that matches
 ``jax.lax.conv_general_dilated`` on the same operands (tested in
-tests/test_pallas_packed_conv.py).
+tests/test_pallas_packed_conv.py; compiled-on-TPU correctness via
+scripts/bench_packed_kernel.py).
+
+MEASURED NEGATIVE RESULT (round 3, v5e): kept env-gated OFF
+(``TRANSOAR_PALLAS_CONV=1`` selects it inside ``conv3d_packed_chain``).
+Microbench fwd+dx+dw at the stage-0 packed shapes: 37.6 ms vs XLA's
+17.1; end-to-end batch-2 bench 10.2 vol/s vs 13.2 with XLA convs. XLA's
+TPU conv emitter already runs these MXU-shaped convs at ~46% of peak —
+within the ~42-50% ceiling set by K=144 (1.125 K-tiles) and N=96 (75%
+lanes) — and the kernel's scratch fills, group shift-adds and
+custom-call boundary copies cost more than the graph-level layout flips
+they were meant to remove. The per-row variant (M=128 dots) was 43 ms —
+MXU-latency-bound; the tile-level variant above is the best found.
 """
 
 from __future__ import annotations
@@ -41,20 +51,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _fill_scratch(scratch, xa_ref, xb_ref, xc_ref, TH):
+    """scratch rows j in [0, TH+2) hold global rows h0-1+j: the main tile
+    plus clamped single-row halo blocks, zeroed at the H boundary so no
+    padded copy of the input is ever materialized in HBM."""
+    scratch[1:TH + 1] = xa_ref[0]
+    scratch[0] = xb_ref[0, 0]
+    scratch[TH + 1] = xc_ref[0, 0]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        scratch[0] = jnp.zeros_like(scratch[0])
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        scratch[TH + 1] = jnp.zeros_like(scratch[TH + 1])
+
+
 def _conv_kernel(xa_ref, xb_ref, xc_ref, w_ref, out_ref, scratch):
     """One (bd, h-tile) program: rows [h0-1, h0+TH] -> out rows [h0, h0+TH).
 
-    scratch rows j in [0, TH+2) hold padded rows h0+j (global h0+j-1);
-    output row i consumes scratch rows i, i+1, i+2 (kh = 0, 1, 2).
+    scratch rows j in [0, TH+2) hold global rows h0-1+j; output row i
+    consumes scratch rows i, i+1, i+2 (kh = 0, 1, 2).
     """
     TH = out_ref.shape[1]
     W = out_ref.shape[2]
     Fp = out_ref.shape[3]
     Cin = scratch.shape[-1]
 
-    scratch[0:TH] = xa_ref[0]
-    scratch[TH] = xb_ref[0, 0]
-    scratch[TH + 1] = xc_ref[0, 0]
+    _fill_scratch(scratch, xa_ref, xb_ref, xc_ref, TH)
 
     # nine [TH*W, Cin] x [Cin, Fp] dots — M = TH*W amortizes MXU latency
     # (per-row M=128 dots measured 43 ms/conv, latency-bound). The dots
@@ -92,9 +117,7 @@ def _dw_kernel(xa_ref, xb_ref, xc_ref, dy_ref, dw_ref, scratch):
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    scratch[0:TH] = xa_ref[0]
-    scratch[TH] = xb_ref[0, 0]
-    scratch[TH + 1] = xc_ref[0, 0]
+    _fill_scratch(scratch, xa_ref, xb_ref, xc_ref, TH)
 
     dy_flat = dy_ref[0].reshape(TH * W, Fp)
     for kw in range(3):
@@ -114,17 +137,21 @@ def _dw_kernel(xa_ref, xb_ref, xc_ref, dy_ref, dw_ref, scratch):
                 preferred_element_type=jnp.float32)
 
 
-def _row_specs(TH, W, C):
-    """Main TH-row block + the two halo rows, of an H-padded [BD, H+2, W, C]
-    array. Block shapes differ, so the index maps run at different
-    granularities: TH-row blocks for the tile, 1-row blocks for the halos."""
+def _row_specs(TH, H, W, C):
+    """Main TH-row block + two single-row halo blocks of the UNPADDED
+    [BD, H, W, C] array. Block shapes differ, so the index maps run at
+    different granularities: TH-row blocks for the tile, 1-row blocks for
+    the halos; the boundary halos are clamped in range and zeroed inside
+    the kernel (_fill_scratch), so no padded HBM copy is needed."""
     return [
         pl.BlockSpec((1, TH, W, C), lambda bd, ht: (bd, ht, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, W, C), lambda bd, ht: (bd, ht * TH + TH, 0, 0),
+        pl.BlockSpec((1, 1, W, C),
+                     lambda bd, ht: (bd, jnp.maximum(ht * TH - 1, 0), 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, W, C),
-                     lambda bd, ht: (bd, ht * TH + TH + 1, 0, 0),
+                     lambda bd, ht: (bd, jnp.minimum(ht * TH + TH, H - 1),
+                                     0, 0),
                      memory_space=pltpu.VMEM),
     ]
 
@@ -136,58 +163,54 @@ def _pick_th(H):
     return 1
 
 
-def _conv_rows(xpad, w):
-    """xpad: [BD, H+2, W, Cin] (H zero-padded by 1 both sides);
-    w: [3, 3, Cin, Cout]; returns [BD, H, W, Cout]."""
-    BD, Hp, W, Cin = xpad.shape
-    H = Hp - 2
+def _conv_rows(x, w):
+    """x: [BD, H, W, Cin]; w: [3, 3, Cin, Cout]; returns
+    [BD, H, W, Cout] (3x3 conv, torch-style symmetric padding)."""
+    BD, H, W, Cin = x.shape
     Cout = w.shape[-1]
     TH = _pick_th(H)
     flops = BD * H * W * 9 * Cin * Cout * 2
     return pl.pallas_call(
         _conv_kernel,
+        interpret=jax.default_backend() == "cpu",
         grid=(BD, H // TH),
-        in_specs=_row_specs(TH, W, Cin) + [
+        in_specs=_row_specs(TH, H, W, Cin) + [
             pl.BlockSpec((3, 3, Cin, Cout), lambda bd, ht: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, TH, W, Cout),
                                lambda bd, ht: (bd, ht, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BD, H, W, Cout), xpad.dtype),
-        scratch_shapes=[pltpu.VMEM((TH + 2, W, Cin), xpad.dtype)],
+        out_shape=jax.ShapeDtypeStruct((BD, H, W, Cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((TH + 2, W, Cin), x.dtype)],
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=xpad.size * 2 + BD * H * W * Cout * 2,
+            flops=flops, bytes_accessed=x.size * 2 + BD * H * W * Cout * 2,
             transcendentals=0),
-    )(xpad, xpad, xpad, w)
+    )(x, x, x, w)
 
 
-def _dw_rows(xpad, dy):
-    """dw band gradient: xpad [BD, H+2, W, Cin], dy [BD, H, W, Cout] ->
+def _dw_rows(x, dy):
+    """dw band gradient: x [BD, H, W, Cin], dy [BD, H, W, Cout] ->
     f32 [3, 3, Cin, Cout]."""
-    BD, Hp, W, Cin = xpad.shape
-    H = Hp - 2
+    BD, H, W, Cin = x.shape
     Cout = dy.shape[-1]
     TH = _pick_th(H)
     flops = BD * H * W * 9 * Cin * Cout * 2
     return pl.pallas_call(
         _dw_kernel,
+        interpret=jax.default_backend() == "cpu",
         grid=(BD, H // TH),
-        in_specs=_row_specs(TH, W, Cin) + [
+        in_specs=_row_specs(TH, H, W, Cin) + [
             pl.BlockSpec((1, TH, W, Cout), lambda bd, ht: (bd, ht, 0, 0),
                          memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((3, 3, Cin, Cout),
                                lambda bd, ht: (0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, 3, Cin, Cout), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TH + 2, W, Cin), xpad.dtype)],
+        scratch_shapes=[pltpu.VMEM((TH + 2, W, Cin), x.dtype)],
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=xpad.size * 2 + dy.size * 2,
+            flops=flops, bytes_accessed=x.size * 2 + dy.size * 2,
             transcendentals=0),
-    )(xpad, xpad, xpad, dy)
-
-
-def _pad_h(x):
-    return jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    )(x, x, x, dy)
 
 
 @jax.custom_vjp
@@ -196,7 +219,7 @@ def packed_conv(xh, wp):
     rows [BD, H, W, Cin] — the packed band conv of conv3d_packed_chain,
     numerically ``lax.conv_general_dilated(xh, wp, (1, 1), ((1,1),(1,1)))``
     in bf16 with f32 accumulation."""
-    return _conv_rows(_pad_h(xh), wp)
+    return _conv_rows(xh, wp)
 
 
 def _packed_conv_fwd(xh, wp):
@@ -207,8 +230,8 @@ def _packed_conv_bwd(res, dy):
     xh, wp = res
     # dx: correlate dy with the spatially flipped, in/out-transposed band
     wflip = jnp.flip(wp, axis=(0, 1)).swapaxes(2, 3)
-    dxh = _conv_rows(_pad_h(dy), wflip)
-    dwp = _dw_rows(_pad_h(xh), dy).astype(wp.dtype)
+    dxh = _conv_rows(dy, wflip)
+    dwp = _dw_rows(xh, dy).astype(wp.dtype)
     return dxh, dwp
 
 
