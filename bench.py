@@ -59,10 +59,12 @@ def build_benchmark(batch_size, patch, scan_steps=8, microbatch=None):
         config["backbone"]["stage0_pack_batch1"] = True
     if os.environ.get("TRANSOAR_ROI_MATMUL"):
         config["neck"]["roi_matmul"] = True
-    # The parity conv variant fixed the old batch>=2 conv slowdown;
-    # plain batching now beats the per-sample lax.map path (12.1 vs 11.2
-    # vol/s at batch 2) — microbatch stays available as an option.
-    config["trainer"]["microbatch"] = (False if microbatch is None
+    # "grads" = exact per-sample fwd+bwd accumulation (trainer.py): the
+    # scan body is the fast batch-1 graph, so batch-2 matches batch-1
+    # per-volume speed (15.8 vs 13.2 vol/s plain-batched; the lax.map
+    # forward-only variant measured 11.2). Exactness is test-pinned
+    # (tests/test_microbatch.py); auto = grads.
+    config["trainer"]["microbatch"] = ("grads" if microbatch is None
                                        else microbatch)
     model = build_transoarnet(config)
 
@@ -135,11 +137,13 @@ def main():
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--scan_steps", type=int, default=8,
                         help="train steps fused into one dispatch")
-    parser.add_argument("--microbatch", choices=["auto", "on", "off"],
+    parser.add_argument("--microbatch",
+                        choices=["auto", "on", "off", "grads"],
                         default="auto")
     args = parser.parse_args()
 
-    microbatch = {"auto": None, "on": True, "off": False}[args.microbatch]
+    microbatch = {"auto": None, "on": True, "off": False,
+                  "grads": "grads"}[args.microbatch]
     patch = tuple(args.patch)
     sizes = [args.batch_size] if args.batch_size else [2, 1]
     vols = {

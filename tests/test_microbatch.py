@@ -38,3 +38,88 @@ def test_microbatch_matches_batched():
     for a, b in zip(jax.tree.leaves(results[False][1]),
                     jax.tree.leaves(results[True][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_grad_accum_microbatch_matches_batched():
+    """trainer.microbatch: "grads" (per-sample fwd+bwd scan) must reproduce
+    the batched losses and the batched parameter update — the per-sample
+    criterion calls use the batch-global normalizers (present_total), so
+    summing per-sample losses/grads is exact up to fp reassociation."""
+    cfg = tiny_config(num_organs=2, qpo=7, patch=(32, 32, 16))
+    cfg["neck"]["dropout"] = 0.0  # isolate numerics from dropout draws
+    model = build_transoarnet(cfg)
+    example = jnp.zeros((3, 32, 32, 16, 1))
+    images, seg = synthetic_batch(cfg, batch_size=3, seed=0)
+    batch = {"image": jnp.asarray(images), "seg": jnp.asarray(seg)}
+    crit = Criterion(cfg)
+    rng = jax.random.key(5)
+
+    results = {}
+    for flag in (False, "grads"):
+        cfg_i = {**cfg, "trainer": {**cfg["trainer"], "microbatch": flag}}
+        state = create_train_state(model, cfg_i, example, jax.random.key(0),
+                                   4)
+        step = jax.jit(make_train_step(model, crit, cfg_i, model.anchors))
+        state, losses = step(state, batch, rng)
+        results[flag] = (losses, state.params)
+
+    for key in results[False][0]:
+        np.testing.assert_allclose(
+            float(results[False][0][key]), float(results["grads"][0][key]),
+            rtol=2e-4, err_msg=key)
+    for a, b in zip(jax.tree.leaves(results[False][1]),
+                    jax.tree.leaves(results["grads"][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_grads_mode_gated_off_on_dp_mesh(tmp_path):
+    """Trainer must downgrade microbatch='grads' on a dp>1 mesh (the mode
+    scans the batch axis, which is device-sharded there) and still train."""
+    from tests.test_training import _setup_run
+    from transoar_tpu.data.dataset import get_loader
+    from transoar_tpu.parallel import mesh as mesh_lib
+    from transoar_tpu.training.trainer import Trainer
+
+    cfg, ds_root = _setup_run(tmp_path, epochs=1)
+    cfg["trainer"]["microbatch"] = "grads"
+    model = build_transoarnet(cfg)
+    loader = get_loader(cfg, "train", data_dir=ds_root)
+    example = jnp.zeros((2, 32, 32, 16, 1))
+    state = create_train_state(model, cfg, example, jax.random.key(0),
+                               steps_per_epoch=len(loader))
+    mesh = mesh_lib.make_mesh(dp=2, sp=1, devices=jax.devices()[:2])
+    trainer = Trainer(cfg, model, loader, loader, tmp_path / "runs" / "gg",
+                      mesh=mesh, state=state)
+    trainer._writer = None
+    assert trainer._config["trainer"]["microbatch"] is False
+    means = trainer._train_one_epoch(1)
+    assert np.isfinite(means["total"])
+
+
+def test_grad_accum_matches_map_with_dropout():
+    """With dropout ON, grads mode and map mode draw identical per-sample
+    dropout keys (fold_in(step_rng, idx)), so their losses must agree."""
+    cfg = tiny_config(num_organs=2, qpo=7, patch=(32, 32, 16))
+    model = build_transoarnet(cfg)
+    example = jnp.zeros((2, 32, 32, 16, 1))
+    images, seg = synthetic_batch(cfg, batch_size=2, seed=1)
+    batch = {"image": jnp.asarray(images), "seg": jnp.asarray(seg)}
+    crit = Criterion(cfg)
+    rng = jax.random.key(7)
+
+    results = {}
+    for flag in (True, "grads"):
+        cfg_i = {**cfg, "trainer": {**cfg["trainer"], "microbatch": flag}}
+        state = create_train_state(model, cfg_i, example, jax.random.key(0),
+                                   4)
+        step = jax.jit(make_train_step(model, crit, cfg_i, model.anchors))
+        state, losses = step(state, batch, rng)
+        results[flag] = (losses, state.params)
+
+    for key in results[True][0]:
+        np.testing.assert_allclose(
+            float(results[True][0][key]), float(results["grads"][0][key]),
+            rtol=2e-4, err_msg=key)
+    for a, b in zip(jax.tree.leaves(results[True][1]),
+                    jax.tree.leaves(results["grads"][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

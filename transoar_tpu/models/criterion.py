@@ -40,18 +40,25 @@ def _bce_with_logits(logits, labels):
         jnp.exp(-jnp.abs(logits)))
 
 
-def loss_class(pred_logits, soft_labels, num_organs):
-    """BCE on soft labels, mean over valid entries (criterion.py:40-49)."""
+def loss_class(pred_logits, soft_labels, num_organs, count=None):
+    """BCE on soft labels, mean over valid entries (criterion.py:40-49).
+
+    ``count`` overrides the valid-entry normalizer — used by the exact
+    per-sample gradient-accumulation microbatch (trainer.py), which sums
+    per-sample numerators against the batch-global denominator.
+    """
     B, Q, _ = pred_logits.shape
     logits = pred_logits.reshape(B, num_organs, -1).astype(jnp.float32)
     valid = soft_labels != -1
     bce = _bce_with_logits(logits, jnp.clip(soft_labels, 0.0))
     total = jnp.sum(jnp.where(valid, bce, 0.0))
-    count = jnp.maximum(jnp.sum(valid), 1)
+    if count is None:
+        count = jnp.maximum(jnp.sum(valid), 1)
     return total / count
 
 
-def loss_bboxes(pred_boxes, matches, tgt_boxes, tgt_present, num_organs):
+def loss_bboxes(pred_boxes, matches, tgt_boxes, tgt_present, num_organs,
+                num_boxes=None):
     """Matched-query L1 + GIoU losses (criterion.py:52-75)."""
     B, Q, _ = pred_boxes.shape
     boxes = pred_boxes.reshape(B, num_organs, -1, 6).astype(jnp.float32)
@@ -61,7 +68,8 @@ def loss_bboxes(pred_boxes, matches, tgt_boxes, tgt_present, num_organs):
     tgt = tgt_boxes.astype(jnp.float32)
     present = tgt_present.astype(jnp.float32)
 
-    num_boxes = jnp.maximum(present.sum(), 1.0)
+    if num_boxes is None:
+        num_boxes = jnp.maximum(present.sum(), 1.0)
 
     l1 = jnp.abs(matched - tgt).sum(-1) * present
     loss_l1 = l1.sum() / num_boxes
@@ -123,20 +131,38 @@ class Criterion:
             cost_class=self.cost_class, cost_bbox=self.cost_bbox,
             cost_giou=self.cost_giou, anchor_matching=self.anchor_matching)
 
-    def __call__(self, outputs, targets, anchors) -> Dict[str, Any]:
-        """outputs: model dict; targets: {'boxes', 'present'[, 'seg']}."""
+    def __call__(self, outputs, targets, anchors,
+                 present_total=None) -> Dict[str, Any]:
+        """outputs: model dict; targets: {'boxes', 'present'[, 'seg']}.
+
+        ``present_total`` (optional int scalar): batch-global number of
+        present organs. When given, the cls/bbox normalizers are derived
+        from it instead of from ``targets`` — this lets the trainer's
+        gradient-accumulation microbatch call the criterion per-sample and
+        SUM the results to recover the batched loss exactly (the matcher
+        and every numerator are per-sample; only the two denominators
+        couple the batch, and both are functions of ``present.sum()``).
+        """
         tgt_boxes, tgt_present = targets["boxes"], targets["present"]
+
+        num_boxes = cls_count = None
+        if present_total is not None:
+            qpo = outputs["pred_logits"].shape[1] // self.num_organs
+            cls_count = jnp.maximum(present_total * qpo, 1)
+            num_boxes = jnp.maximum(
+                jnp.asarray(present_total, jnp.float32), 1.0)
 
         matches, soft = self._match(
             outputs["pred_logits"], outputs["pred_boxes"], anchors,
             tgt_boxes, tgt_present)
         l_bbox, l_giou = loss_bboxes(
             outputs["pred_boxes"], matches, tgt_boxes, tgt_present,
-            self.num_organs)
+            self.num_organs, num_boxes=num_boxes)
         losses = {
             "bbox": l_bbox,
             "giou": l_giou,
-            "cls": loss_class(outputs["pred_logits"], soft, self.num_organs),
+            "cls": loss_class(outputs["pred_logits"], soft, self.num_organs,
+                              count=cls_count),
         }
 
         if self.seg_proxy:
@@ -155,10 +181,12 @@ class Criterion:
                 m_i, s_i = self._match(a_logits, a_boxes, anchors,
                                        tgt_boxes, tgt_present)
                 lb, lg = loss_bboxes(a_boxes, m_i, tgt_boxes, tgt_present,
-                                     self.num_organs)
+                                     self.num_organs, num_boxes=num_boxes)
                 losses[f"bbox_{i}"] = lb
                 losses[f"giou_{i}"] = lg
-                losses[f"cls_{i}"] = loss_class(a_logits, s_i, self.num_organs)
+                losses[f"cls_{i}"] = loss_class(a_logits, s_i,
+                                                self.num_organs,
+                                                count=cls_count)
 
         return losses
 

@@ -65,8 +65,22 @@ def make_train_step(model, criterion: Criterion, config, anchors):
     # at these volume sizes (763 ms at batch 2 vs 2x121 ms at batch 1,
     # PERFORMANCE.md); ``trainer.microbatch: true`` runs the model
     # per-sample under ``lax.map`` inside the step (loss/matching stay
-    # batch-global, so semantics are unchanged).
-    microbatch = bool(config.get("trainer", {}).get("microbatch", False))
+    # batch-global, so semantics are unchanged). ``microbatch: "grads"``
+    # goes further: a ``lax.scan`` over samples runs forward AND backward
+    # per-sample and sums the gradients — the body is literally the fast
+    # batch-1 graph, so batch-N throughput approaches batch-1 per-volume
+    # speed. Exact for the focused-decoder Criterion without seg proxy:
+    # the matcher and every loss numerator are per-sample, and the two
+    # batch-coupling denominators are both functions of ``present.sum()``
+    # (computed batch-globally and passed through ``present_total``).
+    mb_mode = config.get("trainer", {}).get("microbatch", False)
+    microbatch = mb_mode is True  # "grads" falls back to plain batching
+    mb_grads = mb_mode == "grads" and type(criterion) is Criterion \
+        and not criterion.seg_proxy
+    if mb_mode == "grads" and not mb_grads:
+        logger.info("microbatch='grads' unavailable for this criterion "
+                    "(seg proxy / non-Criterion losses couple the batch in "
+                    "their numerators) — using plain batching")
 
     def apply_model(params, image, step_rng):
         if not microbatch or image.shape[0] == 1:
@@ -107,13 +121,44 @@ def make_train_step(model, criterion: Criterion, config, anchors):
         batch = {"image": image, "seg": seg}
         targets = derive_targets(batch["seg"], num_classes, padding)
 
-        def loss_fn(params):
-            out = apply_model(params, batch["image"], step_rng)
-            losses = criterion(out, targets, anchors)
-            return total_loss(losses, coefs), losses
+        if mb_grads and image.shape[0] > 1:
+            # exact per-sample fwd+bwd accumulation (see mb_mode comment)
+            present_total = targets["present"].sum()
 
-        (loss, losses), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            def per_sample(gacc, inp):
+                idx, img, tb, tp = inp
+
+                def loss_fn_b(params):
+                    rngs = {"dropout": jax.random.fold_in(step_rng, idx)}
+                    out = model.apply({"params": params}, img[None],
+                                      deterministic=False, rngs=rngs)
+                    ls = criterion(out, {"boxes": tb[None],
+                                         "present": tp[None]},
+                                   anchors, present_total=present_total)
+                    return total_loss(ls, coefs), ls
+
+                (_, ls), g = jax.value_and_grad(
+                    loss_fn_b, has_aux=True)(state.params)
+                return jax.tree.map(jnp.add, gacc, g), ls
+
+            B = image.shape[0]
+            grads0 = jax.tree.map(jnp.zeros_like, state.params)
+            grads, ls_stack = jax.lax.scan(
+                per_sample, grads0,
+                (jnp.arange(B), batch["image"], targets["boxes"],
+                 targets["present"]))
+            # per-sample numerators over batch-global denominators SUM to
+            # the batched loss values
+            losses = jax.tree.map(lambda x: x.sum(0), ls_stack)
+            loss = total_loss(losses, coefs)
+        else:
+            def loss_fn(params):
+                out = apply_model(params, batch["image"], step_rng)
+                losses = criterion(out, targets, anchors)
+                return total_loss(losses, coefs), losses
+
+            (loss, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(grads=grads)
         losses["total"] = loss
         return state, losses
@@ -174,7 +219,6 @@ class Trainer:
     def __init__(self, config, model, train_loader, val_loader, path_to_run,
                  mesh=None, start_epoch=0, metric_start_val=0.0, state=None,
                  rng=None, log_writer=None):
-        self._config = config
         self._model = model
         aug_cfg = config.get("augmentation", {})
         if aug_cfg.get("use_augmentation") and \
@@ -195,6 +239,17 @@ class Trainer:
 
         self._mesh = mesh if mesh is not None else mesh_lib.auto_mesh(
             config["trainer"]["batch_size"])
+        if (config["trainer"].get("microbatch") == "grads"
+                and self._mesh.shape.get("dp", 1) > 1):
+            # grads mode scans the batch axis inside the step; with the
+            # batch dp-sharded each device already holds the small
+            # per-device batch the mode exists to emulate — plain batching
+            # is the right graph there.
+            logger.info("microbatch='grads' disabled on dp>1 mesh "
+                        "(batch axis is device-sharded)")
+            config = {**config,
+                      "trainer": {**config["trainer"], "microbatch": False}}
+        self._config = config
         self._rng = rng if rng is not None else jax.random.key(
             config.get("seed", 0))
 
