@@ -62,15 +62,26 @@ class Tester:
         self._evaluator = build_evaluator(self._config, per_class=True)
         self._num_organs = self._config["neck"]["num_organs"]
 
+        # intensity window, exactly like training/validation (the reference
+        # applies ScaleIntensityRanged on EVERY split, transforms.py:170-177)
+        stats = self._config.get("foreground_voxel_statistics")
+
+        def _window(image):
+            if stats is None:
+                return image
+            from transoar_tpu.data.transforms import eval_transform
+
+            return eval_transform(image, stats)
+
         self._is_retina = "retina" in self._config
         if self._is_retina:
             self._forward = jax.jit(
                 lambda params, image: self._model.apply(
-                    {"params": params}, image, deterministic=True))
+                    {"params": params}, _window(image), deterministic=True))
         else:
             self._forward = jax.jit(
                 lambda params, image: self._model.apply(
-                    {"params": params}, image, deterministic=True,
+                    {"params": params}, _window(image), deterministic=True,
                     return_weights=args.save_attn_map))
 
     def run(self):
