@@ -22,6 +22,10 @@ chain through the donated train state, so fetching the last step's loss
 forces completion of the whole timed region.
 
 Prints exactly one JSON line.
+
+``--mode eval`` measures serving throughput instead (deterministic forward
++ prediction decode, no optimizer): informational, not the official
+headline; its ``vs_baseline`` still divides by the train-step estimate.
 """
 
 from __future__ import annotations
@@ -99,6 +103,57 @@ def build_benchmark(batch_size, patch, scan_steps=8, microbatch=None):
     return state, train_step, batch
 
 
+def build_eval_benchmark(batch_size, patch, scan_steps=8):
+    """Serving throughput: the deterministic forward + prediction decode.
+
+    The axon runtime memoizes repeated identical dispatches (PERFORMANCE.md
+    §Measurement traps), so the image carry is DONATED and each scan
+    iteration's input depends on the previous output through a numerically
+    negligible coupling (+1e-30·mean(logits) — not constant-foldable), the
+    same chaining discipline the train bench gets from its donated state.
+    """
+    from transoar_tpu.models.transoarnet import build_transoarnet
+    from transoar_tpu.presets import flagship_config
+    from transoar_tpu.training.inference import decode_predictions
+
+    config = flagship_config(batch_size=batch_size, patch_size=patch)
+    config["backbone"]["remat"] = False
+    model = build_transoarnet(config)
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(
+        rng.normal(size=(batch_size, *patch, 1)).astype(np.float32))
+    params = model.init(jax.random.key(0), image)["params"]
+
+    def eval_chain(image):
+        def body(carry, _):
+            out = model.apply({"params": params}, carry, deterministic=True)
+            scores, boxes = decode_predictions(out["pred_logits"],
+                                               out["pred_boxes"])
+            carry = carry + 1e-30 * out["pred_logits"].mean()
+            return carry, scores[0, 0]
+
+        return jax.lax.scan(body, image, None, length=scan_steps)
+
+    step = jax.jit(eval_chain, donate_argnums=(0,))
+    return step, image
+
+
+def measure_eval(batch_size, patch, steps, warmup, scan_steps):
+    step, image = build_eval_benchmark(batch_size, patch, scan_steps)
+
+    for _ in range(warmup):
+        image, scores = step(image)
+    float(scores[-1])  # scalar fetch: real sync through the tunnel
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        image, scores = step(image)
+    float(scores[-1])
+    elapsed = time.perf_counter() - t0
+    return (batch_size * scan_steps * steps) / elapsed
+
+
 def measure(batch_size, patch, steps, warmup, scan_steps, microbatch):
     state, train_step, batch = build_benchmark(
         batch_size, patch, scan_steps=scan_steps, microbatch=microbatch)
@@ -140,22 +195,34 @@ def main():
     parser.add_argument("--microbatch",
                         choices=["auto", "on", "off", "grads"],
                         default="auto")
+    parser.add_argument("--mode", choices=["train", "eval"], default="train",
+                        help="train = full training step (the official "
+                             "headline); eval = serving forward + decode")
     args = parser.parse_args()
 
     microbatch = {"auto": None, "on": True, "off": False,
                   "grads": "grads"}[args.microbatch]
     patch = tuple(args.patch)
     sizes = [args.batch_size] if args.batch_size else [2, 1]
-    vols = {
-        b: measure(b, patch, args.steps, args.warmup, args.scan_steps,
-                   microbatch)
-        for b in sizes
-    }
+    if args.mode == "eval":
+        vols = {
+            b: measure_eval(b, patch, args.steps, args.warmup,
+                            args.scan_steps)
+            for b in sizes
+        }
+    else:
+        vols = {
+            b: measure(b, patch, args.steps, args.warmup, args.scan_steps,
+                       microbatch)
+            for b in sizes
+        }
 
     headline = sizes[0]
+    kind = ("train step" if args.mode == "train"
+            else "inference fwd+decode")
     result = {
-        "metric": "CT volumes/sec/chip (Focused Decoder train step, "
-                  "%dx%dx%d, batch %d)" % (*patch, headline),
+        "metric": "CT volumes/sec/chip (Focused Decoder %s, "
+                  "%dx%dx%d, batch %d)" % (kind, *patch, headline),
         "value": round(vols[headline], 4),
         "unit": "volumes/sec",
         "vs_baseline": round(vols[headline] / REFERENCE_VOLUMES_PER_SEC, 4),
