@@ -62,14 +62,24 @@ def train(config, args):
                                steps_per_epoch=max(len(train_loader), 1))
     logger.info("model parameters: %.2fM", count_params(state.params) / 1e6)
 
-    epoch, metric_start_val = 0, 0.0
-    if args.resume:
-        state, epoch, metric_start_val = ckpt_lib.restore_checkpoint(
-            args.resume, state)
-        logger.info("resumed from %s at epoch %d (best %.3f)", args.resume,
-                    epoch, metric_start_val)
-
     path_to_run = Path.cwd() / "runs" / config["experiment_name"]
+    resume_from = args.resume
+    if not resume_from and getattr(args, "auto_resume", False):
+        # preemption-safe relaunch: the same command resumes if the run
+        # already has a checkpoint, else starts fresh
+        last = path_to_run / "model_last"
+        if last.exists():
+            resume_from = last
+        else:
+            logger.info("--auto_resume: no checkpoint at %s, fresh start",
+                        last)
+
+    epoch, metric_start_val = 0, 0.0
+    if resume_from:
+        state, epoch, metric_start_val = ckpt_lib.restore_checkpoint(
+            resume_from, state)
+        logger.info("resumed from %s at epoch %d (best %.3f)", resume_from,
+                    epoch, metric_start_val)
     ckpt_lib.freeze_run_config(config, path_to_run)
 
     trainer = Trainer(config, model, train_loader, val_loader, path_to_run,
@@ -96,6 +106,10 @@ def main():
                         help="Config name in ./config (without .yaml).")
     parser.add_argument("--resume", type=str, default=None,
                         help="Path to a checkpoint directory to resume from.")
+    parser.add_argument("--auto_resume", action="store_true",
+                        help="Resume from runs/<experiment>/model_last if it "
+                             "exists (preemption-safe relaunch), else start "
+                             "fresh.")
     parser.add_argument("--data_dir", type=str, default=None,
                         help="Dataset root (default ./dataset).")
     args = parser.parse_args()

@@ -122,3 +122,32 @@ def test_config_roundtrip_with_data_info(tmp_path):
     cfg = get_config("exp", config_dir=cfg_dir, dataset_dir=ds_root)
     assert "bbox_properties" in cfg
     assert cfg["labels"]["1"] == "organ1"
+
+
+def test_auto_resume_relaunch(tmp_path, monkeypatch):
+    """--auto_resume: the same command resumes from model_last if present
+    (preemption-safe relaunch), else starts fresh."""
+    import argparse
+
+    from scripts.train import train
+
+    cfg, ds_root = _setup_run(tmp_path, epochs=1)
+    cfg["experiment_name"] = "ar"
+    cfg["debug_mode"] = False  # tiny_config default disables ckpt writes
+    monkeypatch.chdir(tmp_path)
+    args = argparse.Namespace(resume=None, auto_resume=True,
+                              data_dir=ds_root)
+
+    train(dict(cfg), args)  # fresh start (no checkpoint yet)
+    run_dir = tmp_path / "runs" / "ar"
+    assert (run_dir / "model_last").exists()
+
+    # relaunch with more epochs: must resume at epoch 1, not retrain it
+    cfg2 = dict(cfg)
+    cfg2["trainer"] = {**cfg["trainer"], "epochs": 2}
+    train(cfg2, args)
+    model = build_transoarnet(cfg2)
+    example = jnp.zeros((2, 32, 32, 16, 1))
+    st = create_train_state(model, cfg2, example, jax.random.key(0), 2)
+    _, epoch, _ = ckpt_lib.restore_checkpoint(run_dir / "model_last", st)
+    assert epoch == 2

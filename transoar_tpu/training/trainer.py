@@ -284,7 +284,11 @@ class Trainer:
         self._eval_step = jax.jit(
             make_eval_step(model, self._criterion, config, anchors))
 
-        self.state = state
+        # A restored checkpoint (--resume) comes back COMMITTED to one
+        # device; jit refuses to mix that with mesh-sharded batch inputs.
+        # Replicate the state over the run mesh explicitly (no-op for a
+        # fresh, uncommitted state on a 1-device mesh).
+        self.state = jax.device_put(state, replicated)
 
     # -- data placement ----------------------------------------------------
     def _device_batch(self, batch):
