@@ -73,6 +73,10 @@ def make_train_step(model, criterion: Criterion, config, anchors):
     # the matcher and every loss numerator are per-sample, and the two
     # batch-coupling denominators are both functions of ``present.sum()``
     # (computed batch-globally and passed through ``present_total``).
+    # non-finite-loss policy: "off" (default, reference behavior) |
+    # "skip" (drop the update in-graph) | "error" (epoch loop raises —
+    # enforced host-side in Trainer._train_one_epoch)
+    nan_guard = config.get("trainer", {}).get("nan_guard", "off")
     mb_mode = config.get("trainer", {}).get("microbatch", False)
     microbatch = mb_mode is True  # "grads" falls back to plain batching
     mb_grads = mb_mode == "grads" and type(criterion) is Criterion \
@@ -159,7 +163,16 @@ def make_train_step(model, criterion: Criterion, config, anchors):
 
             (loss, losses), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
-        state = state.apply_gradients(grads=grads)
+        if nan_guard == "skip":
+            # drop the whole update (params, optimizer moments AND step
+            # counter) when the loss goes non-finite, in-graph — the step
+            # stays one fixed-shape dispatch
+            ok = jnp.isfinite(loss)
+            updated = state.apply_gradients(grads=grads)
+            state = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), updated, state)
+        else:
+            state = state.apply_gradients(grads=grads)
         losses["total"] = loss
         return state, losses
 
@@ -367,9 +380,16 @@ class Trainer:
                 count += 1
 
         agg = {}
+        bad = set()
         for losses in jax.device_get(step_losses):
             for key, val in losses.items():
+                if not np.all(np.isfinite(val)):
+                    bad.add(key)
                 agg[key] = agg.get(key, 0.0) + float(np.sum(val))
+        if bad and self._config["trainer"].get("nan_guard") == "error":
+            raise RuntimeError(
+                f"non-finite training loss in epoch {epoch}: "
+                f"{sorted(bad)} (trainer.nan_guard: error)")
         means = {k: v / max(count, 1) for k, v in agg.items()}
         self._log(epoch, "train", means)
         return means
