@@ -99,6 +99,123 @@ def test_dp_sp_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+def test_dp_sp_tp_matches_single_device():
+    """Full 3-axis mesh (dp=2 x sp=2 x tp=2): the tensor-parallel neck
+    (head-sharded q/k/v, row-parallel out projections, hidden-sharded FFN —
+    parallel/tp.py) must reproduce the unsharded step's loss and updated
+    params, and the neck params must actually END UP tp-sharded."""
+    from transoar_tpu.parallel.tp import state_shardings
+
+    batch = 4
+    cfg, model, state, step_fn, batch_data = _build(batch)
+
+    step1 = jax.jit(step_fn)
+    state1, losses1 = step1(state, jax.device_put(batch_data),
+                            jax.random.key(1))
+
+    mesh = mesh_lib.make_mesh(dp=2, sp=2, tp=2)
+    rep = mesh_lib.replicated(mesh)
+    state_b = create_train_state(model, cfg,
+                                 jnp.zeros((batch, 32, 32, 16, 1)),
+                                 jax.random.key(0), steps_per_epoch=4)
+    state_sh = state_shardings(state_b, mesh)
+    step_tp = jax.jit(step_fn, out_shardings=(state_sh, rep))
+    state_b = jax.device_put(state_b, state_sh)
+    device_batch = mesh_lib.shard_batch(batch_data, mesh)
+    state_tp, losses_tp = step_tp(state_b, device_batch, jax.random.key(1))
+
+    np.testing.assert_allclose(float(losses1["total"]),
+                               float(losses_tp["total"]), rtol=2e-4)
+    flat1 = dict(jax.tree_util.tree_flatten_with_path(state1.params)[0])
+    flat_tp = jax.tree_util.tree_flatten_with_path(state_tp.params)[0]
+    sharded_axes = 0
+    for path, leaf in flat_tp:
+        np.testing.assert_allclose(np.asarray(leaf),
+                                   np.asarray(flat1[path]), atol=5e-5)
+        spec = leaf.sharding.spec
+        if any(ax == "tp" for ax in spec):
+            sharded_axes += 1
+    # the flagship tiny config has a decoder layer: q/k/v + out projections
+    # and both FFN denses must be tp-sharded, not silently replicated
+    assert sharded_axes >= 6, f"only {sharded_axes} tp-sharded params"
+
+
+def test_tp_param_rules():
+    """Name-keyed sharding rules (parallel/tp.py): column-parallel q/k/v
+    heads, row-parallel out projections, FFN hidden split, everything else
+    replicated; fsdp extends any spec on the largest divisible free axis."""
+    from jax.sharding import PartitionSpec as P
+
+    from transoar_tpu.parallel.tp import _divides, _fsdp_spec, param_pspec
+
+    assert param_pspec(("neck", "layer0", "self_attn", "q_proj", "kernel"),
+                       (24, 4, 6)) == P(None, "tp", None)
+    assert param_pspec(("neck", "layer0", "self_attn", "q_proj", "bias"),
+                       (4, 6)) == P("tp", None)
+    assert param_pspec(("neck", "layer0", "cross_attn", "proj", "kernel"),
+                       (24, 24)) == P("tp", None)
+    # row-parallel bias is added once, after the psum -> replicated
+    assert param_pspec(("neck", "layer0", "cross_attn", "proj", "bias"),
+                       (24,)) == P()
+    assert param_pspec(("neck", "layer0", "ffn", "Dense_0", "kernel"),
+                       (24, 32)) == P(None, "tp")
+    assert param_pspec(("neck", "layer0", "ffn", "Dense_1", "kernel"),
+                       (32, 24)) == P("tp", None)
+    # DETR wraps attention in an "mha" child module
+    assert param_pspec(("neck", "layer0", "cross_attn", "mha", "k_proj",
+                        "kernel"), (24, 4, 6)) == P(None, "tp", None)
+    assert param_pspec(("backbone", "Conv_0", "kernel"), (3, 3, 1, 24)) == P()
+    assert param_pspec(("neck", "layer0", "norm_sa", "scale"), (24,)) == P()
+
+    assert _divides(P(None, "tp", None), (24, 4, 6), 2)
+    assert not _divides(P(None, "tp", None), (24, 3, 8), 2)
+
+    assert _fsdp_spec(P(None, "tp", None), (24, 4, 6), 4) == \
+        P("dp", "tp", None)
+    assert _fsdp_spec(P(), (3, 3, 1, 24), 4) == P(None, None, None, "dp")
+    assert _fsdp_spec(P(), (7,), 4) == P()
+    assert _fsdp_spec(P("tp", None), (32, 24), 4) == P("tp", "dp")
+
+
+def test_fsdp_matches_single_device():
+    """ZeRO/FSDP-style param + optimizer sharding over dp
+    (parallel/tp.py::state_shardings(fsdp=True)): same loss and updated
+    params as the unsharded step, with the weights actually dp-sharded
+    (all-gather-on-use / reduce-scatter are GSPMD-inserted)."""
+    from transoar_tpu.parallel.tp import state_shardings
+
+    batch = 4
+    cfg, model, state, step_fn, batch_data = _build(batch)
+
+    step1 = jax.jit(step_fn)
+    state1, losses1 = step1(state, jax.device_put(batch_data),
+                            jax.random.key(1))
+
+    mesh = mesh_lib.make_mesh(dp=4, sp=1, devices=jax.devices()[:4])
+    rep = mesh_lib.replicated(mesh)
+    state_b = create_train_state(model, cfg,
+                                 jnp.zeros((batch, 32, 32, 16, 1)),
+                                 jax.random.key(0), steps_per_epoch=4)
+    state_sh = state_shardings(state_b, mesh, fsdp=True)
+    step_f = jax.jit(step_fn, out_shardings=(state_sh, rep))
+    state_b = jax.device_put(state_b, state_sh)
+    device_batch = mesh_lib.shard_batch(batch_data, mesh)
+    state_f, losses_f = step_f(state_b, device_batch, jax.random.key(1))
+
+    np.testing.assert_allclose(float(losses1["total"]),
+                               float(losses_f["total"]), rtol=2e-4)
+    flat1 = dict(jax.tree_util.tree_flatten_with_path(state1.params)[0])
+    sharded = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            state_f.params)[0]:
+        np.testing.assert_allclose(np.asarray(leaf),
+                                   np.asarray(flat1[path]), atol=5e-5)
+        if any(ax == "dp" for ax in leaf.sharding.spec):
+            sharded += 1
+    # most weight matrices divide by 4 — they must NOT all be replicated
+    assert sharded >= 10, f"only {sharded} dp-sharded params"
+
+
 def test_multi_step_dispatch_on_mesh():
     """steps_per_dispatch > 1 must run on a dp>1 mesh with the stacked
     sharding (regression: bare device_put used to fight the mesh)."""

@@ -10,6 +10,10 @@ here, built the TPU way: one ``jax.sharding.Mesh`` with axes
        sharded; GSPMD partitions the 3D convolutions with halo exchanges and
        the decoder's flattened-token axis inherits the sharding. Use when a
        volume (or its activations) outgrows one chip's HBM.
+  tp — tensor parallel: transformer-neck parameters (attention heads, FFN
+       hidden dim) are sharded Megatron-style via param NamedShardings —
+       see ``transoar_tpu/parallel/tp.py``. Use when the model (or its
+       optimizer state) outgrows one chip, or to shrink per-chip matmuls.
 
 Everything goes through ``jax.jit`` with ``NamedSharding`` in/out shardings —
 no manual collectives; XLA chooses ``all_gather`` / ``reduce_scatter`` /
@@ -24,22 +28,24 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp=-1, sp=1, devices=None) -> Mesh:
+def make_mesh(dp=-1, sp=1, tp=1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     sp = max(int(sp), 1)
+    tp = max(int(tp), 1)
     if dp == -1:
-        dp = n // sp
-    if dp * sp != n:
-        raise ValueError(f"mesh {dp}x{sp} does not cover {n} devices")
-    mesh_devices = mesh_utils.create_device_mesh((dp, sp),
+        dp = n // (sp * tp)
+    if dp * sp * tp != n:
+        raise ValueError(f"mesh {dp}x{sp}x{tp} does not cover {n} devices")
+    mesh_devices = mesh_utils.create_device_mesh((dp, sp, tp),
                                                  devices=devices)
-    return Mesh(mesh_devices, ("dp", "sp"))
+    return Mesh(mesh_devices, ("dp", "sp", "tp"))
 
 
 def mesh_from_config(config, devices=None) -> Mesh:
     par = config.get("parallel", {}) or {}
-    return make_mesh(par.get("dp", -1), par.get("sp", 1), devices=devices)
+    return make_mesh(par.get("dp", -1), par.get("sp", 1), par.get("tp", 1),
+                     devices=devices)
 
 
 def auto_mesh(batch_size, devices=None) -> Mesh:

@@ -279,10 +279,22 @@ class Trainer:
 
         anchors = model.anchors
         replicated = mesh_lib.replicated(self._mesh)
+        # tensor parallelism: with tp > 1 the transformer-neck params (and
+        # their mirrored optimizer moments) carry tp NamedShardings
+        # (parallel/tp.py); parallel.fsdp additionally ZeRO-shards every
+        # divisible leaf over dp. Everything else — and the whole state on
+        # plain dp/sp meshes — is replicated.
+        fsdp = bool((config.get("parallel") or {}).get("fsdp", False))
+        state_sh = replicated
+        if state is not None and (
+                fsdp or self._mesh.shape.get("tp", 1) > 1):
+            from transoar_tpu.parallel.tp import state_shardings
+
+            state_sh = state_shardings(state, self._mesh, fsdp=fsdp)
         self._train_step = jax.jit(
             make_train_step(model, self._criterion, config, anchors),
             donate_argnums=(0,),
-            out_shardings=(replicated, replicated),
+            out_shardings=(state_sh, replicated),
         )
         # multi-step dispatch (amortizes host->device dispatch latency)
         self._steps_per_dispatch = int(
@@ -292,16 +304,16 @@ class Trainer:
                 make_multi_train_step(model, self._criterion, config,
                                       anchors),
                 donate_argnums=(0,),
-                out_shardings=(replicated, replicated),
+                out_shardings=(state_sh, replicated),
             )
         self._eval_step = jax.jit(
             make_eval_step(model, self._criterion, config, anchors))
 
         # A restored checkpoint (--resume) comes back COMMITTED to one
         # device; jit refuses to mix that with mesh-sharded batch inputs.
-        # Replicate the state over the run mesh explicitly (no-op for a
-        # fresh, uncommitted state on a 1-device mesh).
-        self.state = jax.device_put(state, replicated)
+        # Place the state onto the run mesh explicitly (replicated, or the
+        # tp-sharded tree) — a no-op for a fresh state on a 1-device mesh.
+        self.state = jax.device_put(state, state_sh)
 
     # -- data placement ----------------------------------------------------
     def _device_batch(self, batch):
