@@ -38,12 +38,6 @@ logger = logging.getLogger(__name__)
 def train(config, args):
     data_dir = args.data_dir
 
-    train_loader = get_loader(config, "train", data_dir=data_dir)
-    # overfit mode trains and validates on the same data
-    # (reference train.py:34-37)
-    val_split = "train" if config.get("overfit") else "val"
-    val_loader = get_loader(config, val_split, data_dir=data_dir)
-
     model = build_model(config)
     par = config.get("parallel", {}) or {}
     if par.get("dp", -1) == -1 and par.get("sp", 1) == 1:
@@ -53,6 +47,18 @@ def train(config, args):
         mesh = auto_mesh(config["trainer"]["batch_size"])
     else:
         mesh = mesh_from_config(config)
+
+    # Multi-host: each process loads only its rows of every global train
+    # batch (None single-process); validation stays full-batch on every
+    # process so mAP and checkpoint-best decisions are identical everywhere.
+    from transoar_tpu.parallel.mesh import local_batch_rows
+
+    rows = local_batch_rows(mesh, config["trainer"]["batch_size"])
+    train_loader = get_loader(config, "train", data_dir=data_dir, rows=rows)
+    # overfit mode trains and validates on the same data
+    # (reference train.py:34-37)
+    val_split = "train" if config.get("overfit") else "val"
+    val_loader = get_loader(config, val_split, data_dir=data_dir)
 
     patch = config["augmentation"]["patch_size"]
     batch = config["trainer"]["batch_size"]

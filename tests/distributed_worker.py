@@ -26,6 +26,11 @@ def main():
     parser.add_argument("--process_id", type=int, required=True)
     parser.add_argument("--num_processes", type=int, default=2)
     parser.add_argument("--port", type=int, required=True)
+    parser.add_argument("--sharded_data", action="store_true",
+                        help="feed only this process's batch rows "
+                             "(mesh.local_batch_rows) instead of the full "
+                             "global batch — validates multi-host input "
+                             "sharding end to end")
     args = parser.parse_args()
 
     import jax
@@ -65,7 +70,18 @@ def main():
     mesh = mesh_lib.make_mesh(dp=4, sp=1)  # spans BOTH processes
     rep = mesh_lib.replicated(mesh)
     step = jax.jit(step_fn, out_shardings=(rep, rep))
-    device_batch = mesh_lib.shard_batch({"image": images, "seg": seg}, mesh)
+    if args.sharded_data:
+        # multi-host input sharding: drop the rows this process does NOT
+        # own BEFORE placement — the step must still see the identical
+        # global batch, assembled from per-process shards
+        rows = mesh_lib.local_batch_rows(mesh, batch)
+        assert rows is not None and 0 < len(rows) < batch, rows
+        device_batch = mesh_lib.shard_batch(
+            {"image": np.asarray(images)[rows], "seg": np.asarray(seg)[rows]},
+            mesh, local_rows=rows, global_batch=batch)
+    else:
+        device_batch = mesh_lib.shard_batch({"image": images, "seg": seg},
+                                            mesh)
     new_state, losses = step(state, device_batch, jax.random.key(1))
 
     total = float(losses["total"])

@@ -269,7 +269,7 @@ def test_distributed_init_single_process(tmp_path):
     assert "distributed ok 4.0" in res.stdout
 
 
-def test_distributed_two_process_dp():
+def test_distributed_two_process_dp(sharded_data=False):
     """REAL 2-process jax.distributed run: coordinator + worker
     subprocesses, each contributing 2 local CPU devices to one 4-device
     global dp mesh (tests/distributed_worker.py). One train step's loss and
@@ -293,10 +293,13 @@ def test_distributed_two_process_dp():
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        cmd = [sys.executable,
+               str(repo / "tests" / "distributed_worker.py"),
+               "--process_id", str(pid), "--port", str(port)]
+        if sharded_data:
+            cmd.append("--sharded_data")
         procs.append(subprocess.Popen(
-            [sys.executable, str(repo / "tests" / "distributed_worker.py"),
-             "--process_id", str(pid), "--port", str(port)],
-            cwd=str(repo), env=env, stdout=subprocess.PIPE,
+            cmd, cwd=str(repo), env=env, stdout=subprocess.PIPE,
             stderr=subprocess.PIPE, text=True))
     outs = [p.communicate(timeout=600) for p in procs]
     for p, (out, err) in zip(procs, outs):
@@ -325,3 +328,63 @@ def test_distributed_two_process_dp():
                          for leaf in jax.tree.leaves(new_state.params)))
     np.testing.assert_allclose(results[0][0], total, rtol=2e-4)
     np.testing.assert_allclose(results[0][1], checksum, rtol=1e-5)
+
+
+def test_distributed_two_process_sharded_input():
+    """Multi-host input sharding end to end: each process feeds ONLY its
+    own rows of the global batch (mesh.local_batch_rows + the
+    shard_batch(local_rows=...) assembly path); the step must produce the
+    SAME loss and parameter update as full-batch feeding and the
+    single-process oracle — i.e. the per-process shards really reassemble
+    into the identical global batch."""
+    test_distributed_two_process_dp(sharded_data=True)
+
+
+def test_local_batch_rows_and_put_local():
+    """Single-process mechanics of the multi-host input path:
+    local_batch_rows is None single-process (full-feed fast path), and
+    _put_local with all rows reproduces device_put exactly on a dp x sp
+    mesh, including the sp-sharded image layout."""
+    mesh = mesh_lib.make_mesh(dp=4, sp=2)
+    assert mesh_lib.local_batch_rows(mesh, 8) is None
+
+    rng = np.random.default_rng(0)
+    image = rng.normal(size=(8, 4, 4, 2, 1)).astype(np.float32)
+    sharding = mesh_lib.batch_sharding(mesh)
+    via_put = jax.device_put(image, sharding)
+    via_local = mesh_lib._put_local(image, sharding, 8, np.arange(8))
+    assert via_local.sharding.is_equivalent_to(sharding, image.ndim)
+    np.testing.assert_array_equal(np.asarray(via_local), np.asarray(via_put))
+
+    # stacked twin: batch axis 1
+    stacked = rng.normal(size=(3, 8, 4, 4, 2, 1)).astype(np.float32)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    st_sh = NamedSharding(mesh, P(None, "dp", "sp"))
+    np.testing.assert_array_equal(
+        np.asarray(mesh_lib._put_local(stacked, st_sh, 8, np.arange(8),
+                                       batch_axis=1)),
+        np.asarray(jax.device_put(stacked, st_sh)))
+
+
+def test_loader_rows_subsets_global_batches():
+    """Loader(rows=...) yields exactly rows r of every global batch the
+    full loader would produce — same seeded shuffle order, so the union
+    over processes is the single-process epoch."""
+    from transoar_tpu.data.dataset import Loader
+
+    class _FakeDataset:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, idx):
+            img = np.full((2, 2, 2, 1), float(idx), np.float32)
+            return img, np.full((2, 2, 2), idx, np.int32)
+
+    full = Loader(_FakeDataset(), batch_size=4, shuffle=True, seed=7)
+    part = Loader(_FakeDataset(), batch_size=4, shuffle=True, seed=7,
+                  rows=np.array([1, 3]))
+    fb, pb = list(full), list(part)
+    assert len(fb) == len(pb) == 2
+    for f, p in zip(fb, pb):
+        for key in ("image", "seg", "index"):
+            np.testing.assert_array_equal(p[key], f[key][[1, 3]])

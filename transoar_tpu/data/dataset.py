@@ -66,13 +66,21 @@ class Loader:
     """
 
     def __init__(self, dataset, batch_size, shuffle=False, seed=0,
-                 drop_last=True):
+                 drop_last=True, rows=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self._epoch = 0
+        # Multi-host input sharding: ``rows`` = the positions within each
+        # GLOBAL batch this process provides (parallel.mesh.local_batch_rows)
+        # — the shuffle order is seeded identically on every process, so the
+        # union over processes reconstructs exactly the single-process epoch
+        # while each host only reads/augments its own rows.
+        self.rows = None if rows is None else np.asarray(rows, dtype=np.int64)
+        if self.rows is not None:
+            assert drop_last, "sharded loading requires fixed-size batches"
 
     def __len__(self):
         n = len(self.dataset)
@@ -90,6 +98,8 @@ class Loader:
         stop = (n - n % self.batch_size) if self.drop_last else n
         for start in range(0, stop, self.batch_size):
             idx = order[start:start + self.batch_size]
+            if self.rows is not None:
+                idx = idx[self.rows]
             images, labels = zip(*(self.dataset[int(i)] for i in idx))
             yield {
                 "image": np.stack(images),
@@ -98,13 +108,19 @@ class Loader:
             }
 
 
-def get_loader(config, split, batch_size=None, data_dir=None, seed=None):
+def get_loader(config, split, batch_size=None, data_dir=None, seed=None,
+               rows=None):
     """Reference-compatible entry point (dataloader.py:10-24).
 
     Uses the native C++ threaded loader (``transoar_tpu.native``) when
     ``trainer.num_workers > 0`` and the toolchain is available — the
     replacement for the reference's DataLoader worker subprocesses; falls
     back to the in-process Python loader otherwise.
+
+    ``rows`` (multi-host training): per-global-batch row positions this
+    process loads (``parallel.mesh.local_batch_rows``); forces the Python
+    loader — the native loader streams whole batches and per-row subsetting
+    there would still read every case from disk.
     """
     tcfg = config["trainer"]
     batch_size = batch_size or tcfg["batch_size"]
@@ -113,11 +129,11 @@ def get_loader(config, split, batch_size=None, data_dir=None, seed=None):
     seed = config.get("seed", 0) if seed is None else seed
 
     num_workers = int(tcfg.get("num_workers", 0))
-    if num_workers > 0:
+    if num_workers > 0 and rows is None:
         from transoar_tpu.native.native_loader import (NativeLoader,
                                                        native_available)
 
         if native_available():
             return NativeLoader(dataset, batch_size, shuffle=shuffle,
                                 seed=seed, n_threads=num_workers)
-    return Loader(dataset, batch_size, shuffle=shuffle, seed=seed)
+    return Loader(dataset, batch_size, shuffle=shuffle, seed=seed, rows=rows)

@@ -73,23 +73,89 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch dict onto the mesh (image gets sp-sharding)."""
+def local_batch_rows(mesh: Mesh, batch_size: int):
+    """Global batch rows THIS process must load, or ``None`` single-process.
+
+    Multi-host input sharding (SURVEY.md §5 "host data loading sharded
+    per-process"): instead of every host loading/augmenting the full global
+    batch and ``device_put`` discarding the non-local rows, each process
+    loads only the rows some addressable device consumes. Derived from the
+    sharding's own index map, so it is correct for any dp/sp/tp process
+    topology (a row whose sp/tp shards span processes appears in every
+    owning process's row set).
+    """
+    if jax.process_count() == 1:
+        return None
+    sharding = NamedSharding(mesh, P("dp"))
+    pid = jax.process_index()
+    rows = set()
+    for dev, idx in sharding.devices_indices_map((int(batch_size),)).items():
+        if dev.process_index == pid:
+            rows.update(range(*idx[0].indices(int(batch_size))))
+    return np.array(sorted(rows), dtype=np.int64)
+
+
+def _put_local(value, sharding: NamedSharding, global_batch: int,
+               local_rows, batch_axis: int = 0):
+    """Assemble a global array from process-local batch rows.
+
+    ``value`` holds only ``local_rows`` (sorted) along ``batch_axis``; each
+    addressable device's shard is sliced out per the sharding's index map
+    and the global array assembled with
+    ``jax.make_array_from_single_device_arrays`` — no collective, no
+    assumption about process/mesh alignment.
+    """
+    value = np.asarray(value)
+    global_shape = (value.shape[:batch_axis] + (int(global_batch),)
+                    + value.shape[batch_axis + 1:])
+    pos = {int(r): i for i, r in enumerate(local_rows)}
+    shards = []
+    for dev, idx in sharding.addressable_devices_indices_map(
+            global_shape).items():
+        b = idx[batch_axis].indices(int(global_batch))
+        local_b = np.array([pos[r] for r in range(*b)])
+        index = list(idx)
+        index[batch_axis] = local_b
+        shard = value[tuple(index)]
+        shards.append(jax.device_put(shard, dev))
+    return jax.make_array_from_single_device_arrays(
+        global_shape, sharding, shards)
+
+
+def shard_batch(batch: dict, mesh: Mesh, local_rows=None,
+                global_batch=None) -> dict:
+    """Place a host batch dict onto the mesh (image gets sp-sharding).
+
+    With ``local_rows`` (multi-process input sharding), ``batch`` holds
+    only this process's rows and ``global_batch`` is the global batch size;
+    otherwise ``batch`` is the full global batch (plain ``device_put``,
+    which in multi-process mode requires identical values on all hosts).
+    """
     out = {}
     for key, value in batch.items():
-        spec = batch_sharding(mesh) if key == "image" else target_sharding(mesh)
-        out[key] = jax.device_put(value, spec)
+        sharding = (batch_sharding(mesh) if key == "image"
+                    else target_sharding(mesh))
+        if local_rows is None:
+            out[key] = jax.device_put(value, sharding)
+        else:
+            out[key] = _put_local(value, sharding, global_batch, local_rows)
     return out
 
 
-def shard_stacked_batch(batch: dict, mesh: Mesh) -> dict:
+def shard_stacked_batch(batch: dict, mesh: Mesh, local_rows=None,
+                        global_batch=None) -> dict:
     """Place a K-stacked host batch dict [K, B, ...] onto the mesh: the scan
     axis K is replicated, batch over dp, the image's leading spatial axis
     over sp (the stacked twin of ``shard_batch``)."""
     out = {}
     for key, value in batch.items():
         spec = P(None, "dp", "sp") if key == "image" else P(None, "dp")
-        out[key] = jax.device_put(value, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if local_rows is None:
+            out[key] = jax.device_put(value, sharding)
+        else:
+            out[key] = _put_local(value, sharding, global_batch, local_rows,
+                                  batch_axis=1)
     return out
 
 

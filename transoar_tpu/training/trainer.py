@@ -233,6 +233,12 @@ class Trainer:
                  mesh=None, start_epoch=0, metric_start_val=0.0, state=None,
                  rng=None, log_writer=None):
         self._model = model
+        # Multi-host input sharding: a train loader built with
+        # rows=mesh.local_batch_rows(...) yields only this process's rows of
+        # each global batch (scripts/train.py wires this); placement then
+        # assembles the global arrays shard-by-shard. A loader without rows
+        # feeds identical full batches from every process (also valid).
+        self._local_rows = getattr(train_loader, "rows", None)
         aug_cfg = config.get("augmentation", {})
         if aug_cfg.get("use_augmentation") and \
                 not aug_cfg.get("on_device", False):
@@ -316,25 +322,31 @@ class Trainer:
         self.state = jax.device_put(state, state_sh)
 
     # -- data placement ----------------------------------------------------
-    def _device_batch(self, batch):
+    def _device_batch(self, batch, local_rows=None):
         return mesh_lib.shard_batch(
-            {"image": batch["image"], "seg": batch["seg"]}, self._mesh)
+            {"image": batch["image"], "seg": batch["seg"]}, self._mesh,
+            local_rows=local_rows,
+            global_batch=self._config["trainer"]["batch_size"])
 
-    def _prefetch(self, loader, depth=2):
+    def _prefetch(self, loader, depth=2, local_rows=None):
         """Async H2D overlap: device_put is non-blocking, so keeping
         ``depth`` batches in flight hides host->device transfer behind the
-        previous step's compute."""
+        previous step's compute.
+
+        ``local_rows`` (multi-host training): the loader yields only this
+        process's rows of each global batch; placement assembles the global
+        array from the local shards (mesh.shard_batch local path)."""
         import collections
 
         buf = collections.deque()
         for batch in loader:
-            buf.append(self._device_batch(batch))
+            buf.append(self._device_batch(batch, local_rows=local_rows))
             if len(buf) >= depth:
                 yield buf.popleft()
         while buf:
             yield buf.popleft()
 
-    def _prefetch_stacked(self, loader, k, depth=2):
+    def _prefetch_stacked(self, loader, k, depth=2, local_rows=None):
         """K-stacked prefetch for the ``steps_per_dispatch > 1`` path: each
         yield is either ('stacked', device_batch) holding K batches with a
         leading K axis, or ('single', device_batch) for the ragged tail.
@@ -353,12 +365,14 @@ class Trainer:
                 # mesh-aware placement — bare device_put would fight the
                 # replicated out_shardings on a dp/sp>1 mesh
                 buf.append(("stacked", mesh_lib.shard_stacked_batch(
-                    stacked, self._mesh)))
+                    stacked, self._mesh, local_rows=local_rows,
+                    global_batch=self._config["trainer"]["batch_size"])))
                 pending = []
                 if len(buf) >= depth:
                     yield buf.popleft()
         for batch in pending:  # ragged tail runs single steps
-            buf.append(("single", self._device_batch(batch)))
+            buf.append(("single",
+                        self._device_batch(batch, local_rows=local_rows)))
         while buf:
             yield buf.popleft()
 
@@ -371,7 +385,7 @@ class Trainer:
         K = self._steps_per_dispatch
         if K > 1:
             for kind, device_batch in self._prefetch_stacked(
-                    self._train_loader, K):
+                    self._train_loader, K, local_rows=self._local_rows):
                 if kind == "stacked":
                     self.state, losses = self._multi_train_step(
                         self.state, device_batch, self._rng)
@@ -384,7 +398,8 @@ class Trainer:
                         {k: v[None] for k, v in losses.items()})
                     count += 1
         else:
-            for device_batch in self._prefetch(self._train_loader):
+            for device_batch in self._prefetch(self._train_loader,
+                                               local_rows=self._local_rows):
                 self.state, losses = self._train_step(
                     self.state, device_batch, self._rng)
                 step_losses.append(
