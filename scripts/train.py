@@ -49,8 +49,10 @@ def train(config, args):
         mesh = mesh_from_config(config)
 
     # Multi-host: each process loads only its rows of every global train
-    # batch (None single-process); validation stays full-batch on every
-    # process so mAP and checkpoint-best decisions are identical everywhere.
+    # batch (None single-process). Validation feeds identical full batches
+    # from every process, and the eval step replicates its outputs
+    # (Trainer out_shardings) so every process computes the same metrics
+    # and makes the same checkpoint-best decision.
     from transoar_tpu.parallel.mesh import local_batch_rows
 
     rows = local_batch_rows(mesh, config["trainer"]["batch_size"])

@@ -361,8 +361,16 @@ class HostAugmentingLoader:
             images, segs = batch["image"], batch["seg"]
 
             def one(i):
+                # Seed from the sharding-invariant case identity (the
+                # dataset index the loader carries), NOT the local batch
+                # position: with multi-host row-sharded loaders the i-th
+                # local row is a different global row on every process, and
+                # position-keyed seeds would hand different cases duplicated
+                # augmentation draws. (epoch, step, case) is identical
+                # across any process topology and in single-process runs.
+                case = int(batch["index"][i]) if "index" in batch else i
                 seed = (self._seed * 1_000_003 + epoch * 10_007 +
-                        step * 101 + i)
+                        step * 101 + case)
                 return augment_case_np(images[i], segs[i], seed, self._aug,
                                        self._stats)
 

@@ -113,7 +113,16 @@ def _put_local(value, sharding: NamedSharding, global_batch: int,
     for dev, idx in sharding.addressable_devices_indices_map(
             global_shape).items():
         b = idx[batch_axis].indices(int(global_batch))
-        local_b = np.array([pos[r] for r in range(*b)])
+        needed = list(range(*b))
+        missing = [r for r in needed if r not in pos]
+        if missing:
+            raise ValueError(
+                f"local batch is missing global rows {missing} required by "
+                f"device {dev} (have rows {sorted(pos)}; global batch "
+                f"{global_batch} over {sharding.spec}) — check that the "
+                f"batch size divides the dp axis and that the loader was "
+                f"built with parallel.mesh.local_batch_rows(mesh, batch)")
+        local_b = np.array([pos[r] for r in needed], dtype=np.int64)
         index = list(idx)
         index[batch_axis] = local_b
         shard = value[tuple(index)]

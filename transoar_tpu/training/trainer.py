@@ -312,8 +312,13 @@ class Trainer:
                 donate_argnums=(0,),
                 out_shardings=(state_sh, replicated),
             )
+        # Eval outputs are replicated (out_shardings) so Trainer._validate's
+        # jax.device_get works in multi-process runs too — dp-sharded eval
+        # outputs would have non-addressable shards there. XLA inserts the
+        # all_gather; a no-op on single-device meshes.
         self._eval_step = jax.jit(
-            make_eval_step(model, self._criterion, config, anchors))
+            make_eval_step(model, self._criterion, config, anchors),
+            out_shardings=replicated)
 
         # A restored checkpoint (--resume) comes back COMMITTED to one
         # device; jit refuses to mix that with mesh-sharded batch inputs.
