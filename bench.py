@@ -41,14 +41,24 @@ import numpy as np
 REFERENCE_VOLUMES_PER_SEC = 2.0  # documented estimate, see module docstring
 
 
-def build_benchmark(batch_size, patch, scan_steps=8, microbatch=None):
-    from transoar_tpu.models.criterion import Criterion
-    from transoar_tpu.models.transoarnet import build_transoarnet
-    from transoar_tpu.presets import flagship_config
+def build_benchmark(batch_size, patch, scan_steps=8, microbatch=None,
+                    config_name=None):
+    from transoar_tpu.models.criterion import build_criterion
+    from transoar_tpu.models.transoarnet import build_model
+    from transoar_tpu.presets import fill_synthetic_stats, flagship_config
     from transoar_tpu.training.train_state import create_train_state
     from transoar_tpu.training.trainer import make_multi_train_step
+    from transoar_tpu.utils.io import get_config
 
-    config = flagship_config(batch_size=batch_size, patch_size=patch)
+    if config_name:
+        # variant benchmarks (--config detr_amos / def_detr_amos /
+        # retina_amos / swin_fpn_visceral / foc_dec_visceral ...): the
+        # shipped full-size config with synthetic dataset statistics
+        config = fill_synthetic_stats(get_config(config_name))
+        config["trainer"]["batch_size"] = batch_size
+        config["augmentation"]["patch_size"] = list(patch)
+    else:
+        config = flagship_config(batch_size=batch_size, patch_size=patch)
     # encoder remat trades ~30% step time for HBM; only needed at batch >= 2
     config["backbone"]["remat"] = False
     # perf experiment hook: depth-packed stage-0 chain (ops/conv3d.py)
@@ -67,17 +77,21 @@ def build_benchmark(batch_size, patch, scan_steps=8, microbatch=None):
     # scan body is the fast batch-1 graph, so batch-2 matches batch-1
     # per-volume speed (15.8 vs 13.2 vol/s plain-batched; the lax.map
     # forward-only variant measured 11.2). Exactness is test-pinned
-    # (tests/test_microbatch.py); auto = grads.
-    config["trainer"]["microbatch"] = ("grads" if microbatch is None
-                                       else microbatch)
-    model = build_transoarnet(config)
+    # (tests/test_microbatch.py); auto = grads for the flagship criterion,
+    # the config's own setting for variants (grads is only exact for the
+    # focused-decoder Criterion without seg proxy — trainer.py gates it).
+    if microbatch is not None:
+        config["trainer"]["microbatch"] = microbatch
+    elif not config_name:
+        config["trainer"]["microbatch"] = "grads"
+    model = build_model(config)
 
     example = jnp.zeros((batch_size, *patch, 1))
     state = create_train_state(model, config, example, jax.random.key(0),
                                steps_per_epoch=100)
 
     train_step = jax.jit(
-        make_multi_train_step(model, Criterion(config), config,
+        make_multi_train_step(model, build_criterion(config), config,
                               model.anchors),
         donate_argnums=(0,))
 
@@ -115,6 +129,7 @@ def build_eval_benchmark(batch_size, patch, scan_steps=8):
     from transoar_tpu.models.transoarnet import build_transoarnet
     from transoar_tpu.presets import flagship_config
     from transoar_tpu.training.inference import decode_predictions
+    from transoar_tpu.training.trainer import per_sample_apply
 
     config = flagship_config(batch_size=batch_size, patch_size=patch)
     config["backbone"]["remat"] = False
@@ -127,7 +142,10 @@ def build_eval_benchmark(batch_size, patch, scan_steps=8):
 
     def eval_chain(image):
         def body(carry, _):
-            out = model.apply({"params": params}, carry, deterministic=True)
+            # per-sample map: batch-N serving at batch-1 per-volume speed
+            # (batched forwards re-pay the conv slice penalty; trainer.py
+            # per_sample_apply)
+            out = per_sample_apply(model, params, carry)
             scores, boxes = decode_predictions(out["pred_logits"],
                                                out["pred_boxes"])
             carry = carry + 1e-30 * out["pred_logits"].mean()
@@ -154,9 +172,11 @@ def measure_eval(batch_size, patch, steps, warmup, scan_steps):
     return (batch_size * scan_steps * steps) / elapsed
 
 
-def measure(batch_size, patch, steps, warmup, scan_steps, microbatch):
+def measure(batch_size, patch, steps, warmup, scan_steps, microbatch,
+            config_name=None):
     state, train_step, batch = build_benchmark(
-        batch_size, patch, scan_steps=scan_steps, microbatch=microbatch)
+        batch_size, patch, scan_steps=scan_steps, microbatch=microbatch,
+        config_name=config_name)
     rng = jax.random.key(0)
 
     def sync(losses):
@@ -186,7 +206,13 @@ def main():
     parser.add_argument("--batch_size", type=int, default=None,
                         help="measure one batch size only (default: both "
                              "2 — the reference workload, headline — and 1)")
-    parser.add_argument("--patch", type=int, nargs=3, default=[256, 256, 128])
+    parser.add_argument("--config", type=str, default=None,
+                        help="bench a shipped variant config (detr_amos, "
+                             "def_detr_amos, retina_amos, swin_fpn_visceral, "
+                             "foc_dec_visceral, ...) instead of the flagship")
+    parser.add_argument("--patch", type=int, nargs=3, default=None,
+                        help="volume shape (default: the config's own "
+                             "patch_size; 256 256 128 for the flagship)")
     parser.add_argument("--steps", type=int, default=10,
                         help="number of multi-step dispatches to time")
     parser.add_argument("--warmup", type=int, default=3)
@@ -202,7 +228,14 @@ def main():
 
     microbatch = {"auto": None, "on": True, "off": False,
                   "grads": "grads"}[args.microbatch]
-    patch = tuple(args.patch)
+    if args.patch is not None:
+        patch = tuple(args.patch)
+    elif args.config:
+        from transoar_tpu.utils.io import get_config
+
+        patch = tuple(get_config(args.config)["augmentation"]["patch_size"])
+    else:
+        patch = (256, 256, 128)
     sizes = [args.batch_size] if args.batch_size else [2, 1]
     if args.mode == "eval":
         vols = {
@@ -213,16 +246,17 @@ def main():
     else:
         vols = {
             b: measure(b, patch, args.steps, args.warmup, args.scan_steps,
-                       microbatch)
+                       microbatch, config_name=args.config)
             for b in sizes
         }
 
     headline = sizes[0]
     kind = ("train step" if args.mode == "train"
             else "inference fwd+decode")
+    name = args.config if args.config else "Focused Decoder"
     result = {
-        "metric": "CT volumes/sec/chip (Focused Decoder %s, "
-                  "%dx%dx%d, batch %d)" % (kind, *patch, headline),
+        "metric": "CT volumes/sec/chip (%s %s, "
+                  "%dx%dx%d, batch %d)" % (name, kind, *patch, headline),
         "value": round(vols[headline], 4),
         "unit": "volumes/sec",
         "vs_baseline": round(vols[headline] / REFERENCE_VOLUMES_PER_SEC, 4),

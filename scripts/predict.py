@@ -63,9 +63,13 @@ def load_predictor(path_to_run, prefer_best=True):
 
     @jax.jit
     def forward(params, image):
+        from transoar_tpu.training.trainer import per_sample_apply
+
         if stats is not None:
             image = eval_transform(image, stats)
-        return model.apply({"params": params}, image, deterministic=True)
+        # per-sample map: multi-volume requests serve at batch-1 per-volume
+        # speed (trainer.py per_sample_apply)
+        return per_sample_apply(model, params, image)
 
     return config, model, state.params, forward
 

@@ -21,6 +21,30 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
+def cross_process_tp_mesh(devices=None):
+    """dp=2 x sp=1 x tp=2 mesh whose TP pairs each SPAN both processes:
+    devices ordered so mesh[d, 0, :] = (a process-0 device, a process-1
+    device) — GSPMD must place the tensor-parallel collectives (neck param
+    all_gathers, activation reductions) across the process boundary,
+    exactly where single-process mesh tests cannot look. With 4
+    single-process devices (the oracle) the same logical arrangement is
+    built from the local devices."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devs = list(devices) if devices is not None else list(jax.devices())
+    assert len(devs) == 4, devs
+    by_proc = {}
+    for d in devs:
+        by_proc.setdefault(d.process_index, []).append(d)
+    if len(by_proc) == 2:
+        p0, p1 = (by_proc[k] for k in sorted(by_proc))
+        devs = [p0[0], p1[0], p0[1], p1[1]]
+    arr = np.array(devs, dtype=object).reshape(2, 1, 2)
+    return Mesh(arr, ("dp", "sp", "tp"))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--process_id", type=int, required=True)
@@ -31,6 +55,12 @@ def main():
                              "(mesh.local_batch_rows) instead of the full "
                              "global batch — validates multi-host input "
                              "sharding end to end")
+    parser.add_argument("--mesh", choices=["dp", "tp"], default="dp",
+                        help="dp: 4-way data parallel; tp: dp=2 x tp=2 with "
+                             "each TP SHARD GROUP SPANNING BOTH PROCESSES — "
+                             "the tensor-parallel collectives (neck param "
+                             "all_gathers, activation psums) must cross the "
+                             "process boundary")
     args = parser.parse_args()
 
     import jax
@@ -64,12 +94,29 @@ def main():
     example = jnp.zeros((batch, 32, 32, 16, 1))
     state = create_train_state(model, cfg, example, jax.random.key(0),
                                steps_per_epoch=4)
-    step_fn = make_train_step(model, Criterion(cfg), cfg, model.anchors)
     images, seg = synthetic_batch(cfg, batch_size=batch, seed=1)
 
-    mesh = mesh_lib.make_mesh(dp=4, sp=1)  # spans BOTH processes
-    rep = mesh_lib.replicated(mesh)
-    step = jax.jit(step_fn, out_shardings=(rep, rep))
+    if args.mesh == "tp":
+        mesh = cross_process_tp_mesh()
+        import numpy as _np
+
+        tp_procs = {d.process_index
+                    for d in _np.asarray(mesh.devices)[0, 0, :]}
+        assert tp_procs == {0, 1}, f"tp group does not span processes: " \
+                                   f"{tp_procs}"
+        rep = mesh_lib.replicated(mesh)
+        from transoar_tpu.parallel.tp import state_shardings
+
+        state_sh = state_shardings(state, mesh)
+        state = jax.device_put(state, state_sh)
+        step_fn = make_train_step(model, Criterion(cfg), cfg, model.anchors,
+                                  mesh=mesh)
+        step = jax.jit(step_fn, out_shardings=(state_sh, rep))
+    else:
+        mesh = mesh_lib.make_mesh(dp=4, sp=1)  # spans BOTH processes
+        rep = mesh_lib.replicated(mesh)
+        step_fn = make_train_step(model, Criterion(cfg), cfg, model.anchors)
+        step = jax.jit(step_fn, out_shardings=(rep, rep))
     if args.sharded_data:
         # multi-host input sharding: drop the rows this process does NOT
         # own BEFORE placement — the step must still see the identical
@@ -85,8 +132,14 @@ def main():
     new_state, losses = step(state, device_batch, jax.random.key(1))
 
     total = float(losses["total"])
-    checksum = float(sum(jnp.sum(jnp.abs(leaf)).astype(jnp.float32)
-                         for leaf in jax.tree.leaves(new_state.params)))
+    # tp-sharded params have non-addressable shards; reduce them to a
+    # replicated scalar INSIDE jit (jnp ops on non-fully-addressable global
+    # arrays are not allowed outside)
+    checksum_fn = jax.jit(
+        lambda p: sum(jnp.sum(jnp.abs(leaf)).astype(jnp.float32)
+                      for leaf in jax.tree.leaves(p)),
+        out_shardings=mesh_lib.replicated(mesh))
+    checksum = float(checksum_fn(new_state.params))
     print(f"RESULT process={args.process_id} total={total!r} "
           f"checksum={checksum!r}", flush=True)
     jax.distributed.shutdown()

@@ -340,6 +340,79 @@ def test_distributed_two_process_sharded_input():
     test_distributed_two_process_dp(sharded_data=True)
 
 
+def test_distributed_two_process_tp():
+    """REAL 2-process run on a dp=2 x tp=2 mesh whose TP SHARD GROUPS SPAN
+    THE PROCESS BOUNDARY (tests/distributed_worker.py
+    cross_process_tp_mesh): the Megatron-sharded neck params' all_gathers
+    and activation reductions must cross processes — exactly where GSPMD
+    collective placement differs from any single-process mesh. Both
+    processes' loss + post-update checksum must agree with each other and
+    with the single-process oracle on the same logical mesh layout."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        procs.append(subprocess.Popen(
+            [sys.executable, str(repo / "tests" / "distributed_worker.py"),
+             "--process_id", str(pid), "--port", str(port), "--mesh", "tp"],
+            cwd=str(repo), env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
+
+    results = {}
+    for out, _ in outs:
+        m = re.search(r"RESULT process=(\d+) total=([\d.e+-]+) "
+                      r"checksum=([\d.e+-]+)", out)
+        assert m, out
+        results[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+    assert set(results) == {0, 1}
+    assert results[0] == results[1], results
+
+    # single-process oracle: same logical dp=2 x tp=2 layout on 4 local
+    # virtual devices, tp-sharded state
+    from tests.distributed_worker import cross_process_tp_mesh
+    from transoar_tpu.parallel.tp import state_shardings
+
+    batch = 4
+    cfg, model, state, step_fn_base, batch_data = _build(batch)
+    mesh = cross_process_tp_mesh(jax.devices()[:4])
+    rep = mesh_lib.replicated(mesh)
+    state_sh = state_shardings(state, mesh)
+    state = jax.device_put(state, state_sh)
+    from transoar_tpu.models.criterion import Criterion
+    from transoar_tpu.training.trainer import make_train_step
+
+    step = jax.jit(
+        make_train_step(model, Criterion(cfg), cfg, model.anchors,
+                        mesh=mesh),
+        out_shardings=(state_sh, rep))
+    device_batch = mesh_lib.shard_batch(batch_data, mesh)
+    new_state, losses = step(state, device_batch, jax.random.key(1))
+    checksum_fn = jax.jit(
+        lambda p: sum(jnp.sum(jnp.abs(leaf)).astype(jnp.float32)
+                      for leaf in jax.tree.leaves(p)),
+        out_shardings=rep)
+    total = float(losses["total"])
+    checksum = float(checksum_fn(new_state.params))
+    np.testing.assert_allclose(results[0][0], total, rtol=2e-4)
+    np.testing.assert_allclose(results[0][1], checksum, rtol=1e-5)
+
+
 def test_local_batch_rows_and_put_local():
     """Single-process mechanics of the multi-host input path:
     local_batch_rows is None single-process (full-feed fast path), and

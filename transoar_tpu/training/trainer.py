@@ -48,7 +48,76 @@ def derive_targets(seg, num_classes, bbox_padding=1):
     return {"boxes": boxes, "present": present, "seg": seg}
 
 
-def make_train_step(model, criterion: Criterion, config, anchors):
+def _mb_dp(mesh, batch):
+    """dp factor for in-step batch scans: sub-batches of size dp keep one
+    row per dp shard per scan step (1 when unmeshed / indivisible)."""
+    if mesh is not None and mesh.shape.get("dp", 1) > 1 \
+            and batch % mesh.shape["dp"] == 0:
+        return mesh.shape["dp"]
+    return 1
+
+
+def _regroup(x, dp, mesh=None, spec=None):
+    """[B, ...] -> [localB, dp, ...]: sub-batch li holds global rows
+    {d*localB + li} — exactly the rows the dp block layout places
+    one-per-device, so each scan step is the batch-1-per-device graph."""
+    y = jnp.swapaxes(x.reshape(dp, x.shape[0] // dp, *x.shape[1:]), 0, 1)
+    if dp > 1 and mesh is not None:
+        y = jax.lax.with_sharding_constraint(
+            y, mesh_lib.NamedSharding(mesh, spec))
+    return y
+
+
+def per_sample_apply(model, params, image, mesh=None, deterministic=True,
+                     rng=None):
+    """Forward the batch as a ``lax.map`` over per-device rows.
+
+    XLA's 3D-conv strategy degrades superlinearly with the per-device (B*D)
+    slice count (PERFORMANCE.md), so batched forwards pay the same penalty
+    batched training did; mapping sub-batches of size dp (one row per dp
+    shard per step) keeps every dispatch the fast batch-1-per-device graph.
+    Exact — rows are independent in the forward. Used by the serving /
+    eval paths (bench --mode eval, scripts/predict.py, make_eval_step) and
+    the ``microbatch: true`` train forward.
+
+    ``rng`` (training): per-sub-batch dropout keys ``fold_in(rng, li)``.
+    """
+    B = image.shape[0]
+    dp = _mb_dp(mesh, B)
+    local_b = B // dp
+
+    def apply_one(img, rngs):
+        return model.apply({"params": params}, img,
+                           deterministic=deterministic, rngs=rngs)
+
+    if local_b == 1:  # already one row per device
+        rngs = {"dropout": rng} if rng is not None else None
+        return apply_one(image, rngs)
+
+    imgs = _regroup(image, dp, mesh, mesh_lib.P(None, "dp", "sp"))
+
+    def one(args):
+        li, img = args
+        rngs = ({"dropout": jax.random.fold_in(rng, li)}
+                if rng is not None else None)
+        return apply_one(img, rngs)
+
+    outs = jax.lax.map(one, (jnp.arange(local_b), imgs))
+
+    out = {}
+    for key, val in outs.items():
+        if key.startswith("aux_"):
+            # [localB, L, dp, ...] -> [L, dp, localB, ...] -> [L, B, ...]
+            v = jnp.moveaxis(val, 0, 2)
+            out[key] = v.reshape(v.shape[0], B, *v.shape[3:])
+        else:
+            # [localB, dp, ...] -> [dp, localB, ...] -> [B, ...]
+            v = jnp.swapaxes(val, 0, 1)
+            out[key] = v.reshape(B, *v.shape[2:])
+    return out
+
+
+def make_train_step(model, criterion: Criterion, config, anchors, mesh=None):
     coefs = config["loss_coefs"]
     num_classes = config["neck"]["num_organs"]
     padding = config.get("bbox_padding", 1)
@@ -91,23 +160,8 @@ def make_train_step(model, criterion: Criterion, config, anchors):
             return model.apply({"params": params}, image,
                                deterministic=False,
                                rngs={"dropout": step_rng})
-
-        def fwd_one(args):
-            idx, img = args
-            rngs = {"dropout": jax.random.fold_in(step_rng, idx)}
-            return model.apply({"params": params}, img[None],
-                               deterministic=False, rngs=rngs)
-
-        B = image.shape[0]
-        outs = jax.lax.map(fwd_one, (jnp.arange(B), image))
-        out = {}
-        for key, val in outs.items():
-            if key.startswith("aux_"):
-                # [B, L, 1, ...] -> [L, B, ...]
-                out[key] = jnp.moveaxis(val[:, :, 0], 0, 1)
-            else:
-                out[key] = val[:, 0]  # [B, 1, ...] -> [B, ...]
-        return out
+        return per_sample_apply(model, params, image, mesh=mesh,
+                                deterministic=False, rng=step_rng)
 
     def train_step(state, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -125,19 +179,32 @@ def make_train_step(model, criterion: Criterion, config, anchors):
         batch = {"image": image, "seg": seg}
         targets = derive_targets(batch["seg"], num_classes, padding)
 
-        if mb_grads and image.shape[0] > 1:
+        B = image.shape[0]
+        # dp composition: the scan iterates PER-DEVICE rows, not global rows
+        # — sub-batches of size dp (one row per dp shard per step) keep
+        # every dispatch the fast batch-1-per-device graph while XLA handles
+        # all sharding/collectives (no shard_map needed). Degenerates to the
+        # original per-sample scan at dp=1 (identical graph and RNG folds).
+        mb_dp = _mb_dp(mesh, B)
+
+        if mb_grads and B > mb_dp:
             # exact per-sample fwd+bwd accumulation (see mb_mode comment)
             present_total = targets["present"].sum()
+            local_b = B // mb_dp
 
-            def per_sample(gacc, inp):
-                idx, img, tb, tp = inp
+            P = mesh_lib.P
+            imgs = _regroup(batch["image"], mb_dp, mesh, P(None, "dp", "sp"))
+            tbs = _regroup(targets["boxes"], mb_dp, mesh, P(None, "dp"))
+            tps = _regroup(targets["present"], mb_dp, mesh, P(None, "dp"))
+
+            def per_subbatch(gacc, inp):
+                li, img, tb, tp = inp
 
                 def loss_fn_b(params):
-                    rngs = {"dropout": jax.random.fold_in(step_rng, idx)}
-                    out = model.apply({"params": params}, img[None],
+                    rngs = {"dropout": jax.random.fold_in(step_rng, li)}
+                    out = model.apply({"params": params}, img,
                                       deterministic=False, rngs=rngs)
-                    ls = criterion(out, {"boxes": tb[None],
-                                         "present": tp[None]},
+                    ls = criterion(out, {"boxes": tb, "present": tp},
                                    anchors, present_total=present_total)
                     return total_loss(ls, coefs), ls
 
@@ -145,12 +212,9 @@ def make_train_step(model, criterion: Criterion, config, anchors):
                     loss_fn_b, has_aux=True)(state.params)
                 return jax.tree.map(jnp.add, gacc, g), ls
 
-            B = image.shape[0]
             grads0 = jax.tree.map(jnp.zeros_like, state.params)
             grads, ls_stack = jax.lax.scan(
-                per_sample, grads0,
-                (jnp.arange(B), batch["image"], targets["boxes"],
-                 targets["present"]))
+                per_subbatch, grads0, (jnp.arange(local_b), imgs, tbs, tps))
             # per-sample numerators over batch-global denominators SUM to
             # the batched loss values
             losses = jax.tree.map(lambda x: x.sum(0), ls_stack)
@@ -179,7 +243,8 @@ def make_train_step(model, criterion: Criterion, config, anchors):
     return train_step
 
 
-def make_multi_train_step(model, criterion: Criterion, config, anchors):
+def make_multi_train_step(model, criterion: Criterion, config, anchors,
+                          mesh=None):
     """K train steps in ONE dispatch via ``lax.scan`` over stacked batches.
 
     Dispatch latency is significant on remote-attached TPUs (measured ~80 ms
@@ -189,7 +254,7 @@ def make_multi_train_step(model, criterion: Criterion, config, anchors):
     stacked along K. Step randomness is preserved (the PRNG folds in
     ``state.step`` inside the scanned body).
     """
-    step = make_train_step(model, criterion, config, anchors)
+    step = make_train_step(model, criterion, config, anchors, mesh=mesh)
 
     def multi_step(state, batches, rng):
         def body(carry, batch):
@@ -201,7 +266,7 @@ def make_multi_train_step(model, criterion: Criterion, config, anchors):
     return multi_step
 
 
-def make_eval_step(model, criterion: Criterion, config, anchors):
+def make_eval_step(model, criterion: Criterion, config, anchors, mesh=None):
     coefs = config["loss_coefs"]
     num_classes = config["neck"]["num_organs"]
     padding = config.get("bbox_padding", 1)
@@ -216,8 +281,11 @@ def make_eval_step(model, criterion: Criterion, config, anchors):
 
             image = eval_transform(image, stats)
         targets = derive_targets(batch["seg"], num_classes, padding)
-        out = model.apply({"params": state.params}, image,
-                          deterministic=True)
+        # per-device-row map: batched eval forwards pay the same conv
+        # penalty batched training did (52.4 -> 34.6 vol/s at batch 2,
+        # PERFORMANCE.md §Serving); the map makes eval/serving throughput
+        # batch-size-independent. Exact — rows are independent.
+        out = per_sample_apply(model, state.params, image, mesh=mesh)
         losses = criterion(out, targets, anchors)
         losses["total"] = total_loss(losses, coefs)
         pred_keys = ("pred_logits", "pred_boxes", "anchor_logits",
@@ -258,16 +326,10 @@ class Trainer:
 
         self._mesh = mesh if mesh is not None else mesh_lib.auto_mesh(
             config["trainer"]["batch_size"])
-        if (config["trainer"].get("microbatch") == "grads"
-                and self._mesh.shape.get("dp", 1) > 1):
-            # grads mode scans the batch axis inside the step; with the
-            # batch dp-sharded each device already holds the small
-            # per-device batch the mode exists to emulate — plain batching
-            # is the right graph there.
-            logger.info("microbatch='grads' disabled on dp>1 mesh "
-                        "(batch axis is device-sharded)")
-            config = {**config,
-                      "trainer": {**config["trainer"], "microbatch": False}}
+        # microbatch='grads' composes with dp>1: the in-step scan iterates
+        # per-DEVICE rows (sub-batches of size dp, one row per shard), so
+        # per-device per-volume speed matches the batch-1 graph on any dp
+        # mesh (make_train_step regroup).
         self._config = config
         self._rng = rng if rng is not None else jax.random.key(
             config.get("seed", 0))
@@ -298,7 +360,8 @@ class Trainer:
 
             state_sh = state_shardings(state, self._mesh, fsdp=fsdp)
         self._train_step = jax.jit(
-            make_train_step(model, self._criterion, config, anchors),
+            make_train_step(model, self._criterion, config, anchors,
+                            mesh=self._mesh),
             donate_argnums=(0,),
             out_shardings=(state_sh, replicated),
         )
@@ -308,7 +371,7 @@ class Trainer:
         if self._steps_per_dispatch > 1:
             self._multi_train_step = jax.jit(
                 make_multi_train_step(model, self._criterion, config,
-                                      anchors),
+                                      anchors, mesh=self._mesh),
                 donate_argnums=(0,),
                 out_shardings=(state_sh, replicated),
             )
@@ -317,7 +380,8 @@ class Trainer:
         # outputs would have non-addressable shards there. XLA inserts the
         # all_gather; a no-op on single-device meshes.
         self._eval_step = jax.jit(
-            make_eval_step(model, self._criterion, config, anchors),
+            make_eval_step(model, self._criterion, config, anchors,
+                           mesh=self._mesh),
             out_shardings=replicated)
 
         # A restored checkpoint (--resume) comes back COMMITTED to one
