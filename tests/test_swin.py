@@ -125,3 +125,22 @@ def test_swin_fpn_drop_path_schedule_trains():
     assert not np.allclose(np.asarray(o1["pred_logits"]),
                            np.asarray(o2["pred_logits"]))
     assert np.isfinite(np.asarray(out_eval["pred_logits"])).all()
+
+
+def test_shifted_block_traces_under_jit():
+    """Regression: shifted_window_mask must stay pure numpy. With spatial
+    dims larger than the window the shifted branch engages and a jitted
+    forward traces it — routing the mask through jnp turned it into a
+    tracer (np.asarray raised TracerArrayConversionError; found by
+    bench --config swin_fpn_visceral at 64x64x32)."""
+    from transoar_tpu.models.swin import SwinBlock
+
+    block = SwinBlock(dim=8, num_heads=2, window_size=(5, 5, 5), shift=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 12, 12, 6, 8)).astype(np.float32))
+    params = block.init(jax.random.key(0), x)["params"]
+    out = jax.jit(
+        lambda p, v: block.apply({"params": p}, v, deterministic=True)
+    )(params, x)
+    assert out.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(out, np.float32)))

@@ -92,7 +92,12 @@ def shifted_window_mask(padded_shape, ws, ss) -> np.ndarray:
             for w in axis_regions(ws[2], ss[2]):
                 img[:, d, h, w, :] = cnt
                 cnt += 1
-    windows = np.asarray(window_partition(jnp.asarray(img), ws))[..., 0]
+    # pure numpy: window_partition is reshape/transpose method calls, so it
+    # works on the np array directly — routing through jnp here would turn
+    # the mask into a TRACER when a shifted block is traced under jit
+    # (np.asarray of a tracer raises; bench --config swin_fpn_visceral
+    # caught this at 64x64x32 where the shifted branch engages in-jit)
+    windows = window_partition(img, ws)[..., 0]
     diff = windows[:, None, :] - windows[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
