@@ -22,7 +22,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def capture(batch_size, patch, steps, scan_steps, logdir):
+def capture(batch_size, patch, steps, scan_steps, logdir, config_name=None):
     import jax
 
     from bench import build_benchmark
@@ -30,7 +30,8 @@ def capture(batch_size, patch, steps, scan_steps, logdir):
 
     enable_compilation_cache()
     state, train_step, batch = build_benchmark(batch_size, patch,
-                                               scan_steps=scan_steps)
+                                               scan_steps=scan_steps,
+                                               config_name=config_name)
     rng = jax.random.key(0)
     # warmup/compile outside the trace
     state, losses = train_step(state, batch, rng)
@@ -100,10 +101,13 @@ def main():
     parser.add_argument("--scan_steps", type=int, default=4)
     parser.add_argument("--top", type=int, default=40)
     parser.add_argument("--logdir", default="logs/profile_step")
+    parser.add_argument("--config", default=None,
+                        help="profile a shipped variant config instead of "
+                             "the flagship (bench.py --config)")
     args = parser.parse_args()
 
     capture(args.batch_size, tuple(args.patch), args.steps, args.scan_steps,
-            args.logdir)
+            args.logdir, config_name=args.config)
     attribute(args.logdir, args.top, args.steps * args.scan_steps)
 
 

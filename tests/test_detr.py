@@ -178,3 +178,42 @@ def test_set_criterion_absent_slot_does_not_clobber_query0():
     # cls explodes (>1); correct behavior is near-zero CE everywhere
     assert float(losses["cls"]) < 0.05
     assert float(losses["bbox"]) < 1e-4
+
+
+def test_detr_grad_accum_matches_batched():
+    """microbatch='grads' for SetCriterion: per-sample Hungarian matching is
+    independent across rows, and both batch-coupled denominators (the CE
+    weight sum and num_boxes) are pure functions of the present-count,
+    precomputed batch-globally (batch_normalizer) — per-sample fwd+bwd
+    sums must reproduce the batched losses and parameter update."""
+    from tests.helpers import synthetic_batch
+    from transoar_tpu.models.detr import SetCriterion
+    from transoar_tpu.training.train_state import create_train_state
+    from transoar_tpu.training.trainer import make_train_step
+
+    cfg = _detr_cfg("detr")
+    cfg["neck"]["dropout"] = 0.0
+    model = build_transoarnet(cfg)
+    example = jnp.zeros((3, 32, 32, 16, 1))
+    images, seg = synthetic_batch(cfg, batch_size=3, seed=0)
+    batch = {"image": jnp.asarray(images), "seg": jnp.asarray(seg)}
+    crit = SetCriterion(cfg)
+    assert crit.grads_scan_exact
+    rng = jax.random.key(5)
+
+    results = {}
+    for flag in (False, "grads"):
+        cfg_i = {**cfg, "trainer": {**cfg["trainer"], "microbatch": flag}}
+        state = create_train_state(model, cfg_i, example, jax.random.key(0),
+                                   4)
+        step = jax.jit(make_train_step(model, crit, cfg_i, model.anchors))
+        state, losses = step(state, batch, rng)
+        results[flag] = (losses, state.params)
+
+    for key in results[False][0]:
+        np.testing.assert_allclose(
+            float(results[False][0][key]), float(results["grads"][0][key]),
+            rtol=2e-4, err_msg=key)
+    for a, b in zip(jax.tree.leaves(results[False][1]),
+                    jax.tree.leaves(results["grads"][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

@@ -131,3 +131,41 @@ def test_retinanet_forward_and_losses():
     assert len(boxes) == 1
     assert boxes[0].shape[1] == 6
     assert len(classes[0]) == len(scores[0]) == len(boxes[0])
+
+
+def test_retina_grad_accum_matches_batched():
+    """microbatch='grads' for RetinaCriterion: the focal/L1/GIoU numerators
+    are per-sample and the single batch-coupled denominator (num_pos) is a
+    pure function of targets+anchors, precomputed batch-globally
+    (batch_normalizer) — per-sample fwd+bwd sums must reproduce the batched
+    losses and parameter update."""
+    from tests.helpers import synthetic_batch
+    from transoar_tpu.models.retina import build_retinanet
+    from transoar_tpu.training.train_state import create_train_state
+    from transoar_tpu.training.trainer import make_train_step
+
+    cfg = _retina_cfg()
+    model = build_retinanet(cfg)
+    example = jnp.zeros((3, 32, 32, 16, 1))
+    images, seg = synthetic_batch(cfg, batch_size=3, seed=0)
+    batch = {"image": jnp.asarray(images), "seg": jnp.asarray(seg)}
+    crit = RetinaCriterion(cfg)
+    assert crit.grads_scan_exact
+    rng = jax.random.key(5)
+
+    results = {}
+    for flag in (False, "grads"):
+        cfg_i = {**cfg, "trainer": {**cfg["trainer"], "microbatch": flag}}
+        state = create_train_state(model, cfg_i, example, jax.random.key(0),
+                                   4)
+        step = jax.jit(make_train_step(model, crit, cfg_i, model.anchors))
+        state, losses = step(state, batch, rng)
+        results[flag] = (losses, state.params)
+
+    for key in results[False][0]:
+        np.testing.assert_allclose(
+            float(results[False][0][key]), float(results["grads"][0][key]),
+            rtol=2e-4, err_msg=key)
+    for a, b in zip(jax.tree.leaves(results[False][1]),
+                    jax.tree.leaves(results["grads"][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

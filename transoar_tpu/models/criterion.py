@@ -124,6 +124,21 @@ class Criterion:
         self.fg_bg = bool(config["backbone"].get("fg_bg", True))
         self.aux_loss = bool(config["neck"].get("aux_loss"))
 
+    @property
+    def grads_scan_exact(self):
+        """True when the trainer's per-sample grad-accumulation scan
+        (microbatch='grads') reproduces the batched loss exactly: the
+        matcher and every numerator are per-sample, and the only
+        batch-coupling denominators are functions of ``batch_normalizer``.
+        The seg proxy couples the batch in its numerators (softmax-CE /
+        dice means over the whole batch), so it opts out."""
+        return not self.seg_proxy
+
+    def batch_normalizer(self, targets, anchors):
+        """Batch-global scalar passed back in as ``present_total`` by the
+        per-sample scan."""
+        return targets["present"].sum()
+
     def _match(self, logits, boxes, anchors, tgt_boxes, tgt_present):
         return match(
             jax.lax.stop_gradient(logits), jax.lax.stop_gradient(boxes),

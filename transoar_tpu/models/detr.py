@@ -224,6 +224,7 @@ class SetCriterion:
 
     def __init__(self, config):
         self.num_classes = config["neck"]["num_organs"]
+        self.num_queries = int(config["neck"]["num_queries"])
         m = config["matching"]
         self.cost_class = float(m.get("cost_class", 1))
         self.cost_bbox = float(m.get("cost_bbox", 5))
@@ -231,7 +232,25 @@ class SetCriterion:
         self.eos_coef = float(m.get("eos_coef", 0.1))
         self.aux_loss = bool(config["neck"].get("aux_loss"))
 
-    def _single(self, logits, boxes, tgt_boxes, tgt_present):
+    grads_scan_exact = True
+
+    def batch_normalizer(self, targets, anchors):
+        """Batch-global denominators for the trainer's per-sample
+        grad-accumulation scan. Both couplings are pure functions of the
+        present-count: every present GT gets matched to exactly one query
+        (a valid assignment), so the CE weight sum is
+        present_total + eos_coef * (B*Q - present_total) regardless of
+        WHICH queries the per-sample Hungarian picks."""
+        present_total = targets["present"].sum()
+        B = targets["present"].shape[0]
+        weight_total = (present_total +
+                        (B * self.num_queries - present_total) *
+                        self.eos_coef)
+        return {"num_boxes": jnp.maximum(
+                    present_total.astype(jnp.float32), 1.0),
+                "weight_total": weight_total}
+
+    def _single(self, logits, boxes, tgt_boxes, tgt_present, norm=None):
         """logits [B, Q, K+1]; boxes [B, Q, 6]."""
         B, Q, _ = logits.shape
         G = tgt_boxes.shape[1]
@@ -258,12 +277,15 @@ class SetCriterion:
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         ce = -jnp.take_along_axis(logp, cls_target[..., None], axis=-1)[..., 0]
         weights = jnp.where(cls_target > 0, 1.0, self.eos_coef)
-        loss_ce = (ce * weights).sum() / weights.sum()
+        weight_total = weights.sum() if norm is None else \
+            norm["weight_total"]
+        loss_ce = (ce * weights).sum() / weight_total
 
         matched = jnp.take_along_axis(
             boxes.astype(jnp.float32), safe_assign[..., None], axis=1)
         present = tgt_present.astype(jnp.float32)
-        num_boxes = jnp.maximum(present.sum(), 1.0)
+        num_boxes = jnp.maximum(present.sum(), 1.0) if norm is None else \
+            norm["num_boxes"]
 
         l1 = (jnp.abs(matched - tgt_boxes).sum(-1) * present).sum() / num_boxes
         giou = generalized_box_iou_elementwise(
@@ -272,20 +294,24 @@ class SetCriterion:
         loss_giou = ((1.0 - giou) * present).sum() / num_boxes
         return loss_ce, l1, loss_giou
 
-    def __call__(self, outputs, targets, anchors=None):
+    def __call__(self, outputs, targets, anchors=None, present_total=None):
+        """``present_total``: the batch_normalizer dict — per-sample calls
+        normalized by it SUM to the batched losses exactly (trainer
+        microbatch='grads')."""
         tgt_boxes = targets["boxes"].astype(jnp.float32)
         tgt_present = targets["present"]
+        norm = present_total
 
         ce, l1, giou = self._single(outputs["pred_logits"],
                                     outputs["pred_boxes"], tgt_boxes,
-                                    tgt_present)
+                                    tgt_present, norm=norm)
         losses = {"cls": ce, "bbox": l1, "giou": giou,
                   "segce": jnp.zeros(()), "segdice": jnp.zeros(())}
         if self.aux_loss and "aux_logits" in outputs:
             for i in range(outputs["aux_logits"].shape[0]):
                 ce, l1, giou = self._single(
                     outputs["aux_logits"][i], outputs["aux_boxes"][i],
-                    tgt_boxes, tgt_present)
+                    tgt_boxes, tgt_present, norm=norm)
                 losses[f"cls_{i}"] = ce
                 losses[f"bbox_{i}"] = l1
                 losses[f"giou_{i}"] = giou

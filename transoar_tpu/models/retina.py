@@ -192,25 +192,48 @@ class RetinaCriterion:
         self.seg_proxy = bool(config["backbone"].get("use_seg_proxy_loss"))
         self.fg_bg = bool(config["backbone"].get("fg_bg", True))
 
-    def __call__(self, outputs, targets, anchors):
-        """anchors [A, 6] cxcyczwhd; targets boxes [B, G, 6] + present."""
-        logits = outputs["anchor_logits"]  # [B, A, C]
-        deltas = outputs["anchor_deltas"]  # [B, A, 6]
-        tgt_boxes = targets["boxes"].astype(jnp.float32)
-        present = targets["present"]
-        B, A, C = logits.shape
-
+    def _assign(self, tgt_boxes, present, anchors):
+        """Max-IoU anchor->GT assignment; pure function of targets+anchors
+        (no model outputs), so the batch-global positive count can be
+        precomputed before a per-sample scan."""
         anchor_corner = box_cxcyczwhd_to_xyzxyz(anchors)
 
         def assign_one(boxes_g, present_g):
             iou, _ = box_iou_pairwise(
                 anchor_corner, box_cxcyczwhd_to_xyzxyz(boxes_g))  # [A, G]
             iou = jnp.where(present_g[None, :], iou, -1.0)
-            best_gt = jnp.argmax(iou, axis=1)  # [A]
-            best_iou = jnp.max(iou, axis=1)
-            return best_gt, best_iou
+            return jnp.argmax(iou, axis=1), jnp.max(iou, axis=1)
 
-        best_gt, best_iou = jax.vmap(assign_one)(tgt_boxes, present)
+        return jax.vmap(assign_one)(tgt_boxes, present)
+
+    @property
+    def grads_scan_exact(self):
+        """Per-sample grad-accumulation exactness (trainer microbatch=
+        'grads'): focal/L1/GIoU numerators are per-anchor (per-sample) and
+        the single batch-coupling denominator num_pos is a function of
+        targets+anchors only (batch_normalizer). The seg proxy couples the
+        batch in its numerators, so it opts out."""
+        return not self.seg_proxy
+
+    def batch_normalizer(self, targets, anchors):
+        _, best_iou = self._assign(targets["boxes"].astype(jnp.float32),
+                                   targets["present"], anchors)
+        return (best_iou >= self.pos_iou).sum()
+
+    def __call__(self, outputs, targets, anchors, present_total=None):
+        """anchors [A, 6] cxcyczwhd; targets boxes [B, G, 6] + present.
+
+        ``present_total``: batch-global positive-anchor count
+        (batch_normalizer) — per-sample calls normalized by it SUM to the
+        batched losses exactly.
+        """
+        logits = outputs["anchor_logits"]  # [B, A, C]
+        deltas = outputs["anchor_deltas"]  # [B, A, 6]
+        tgt_boxes = targets["boxes"].astype(jnp.float32)
+        present = targets["present"]
+        B, A, C = logits.shape
+
+        best_gt, best_iou = self._assign(tgt_boxes, present, anchors)
 
         pos = best_iou >= self.pos_iou                 # [B, A]
         neg = best_iou < self.neg_iou
@@ -220,7 +243,8 @@ class RetinaCriterion:
         gt_class = best_gt + 1  # class ids are slot + 1
         cls_t = jax.nn.one_hot(jnp.where(pos, gt_class, 0), C + 1)[..., 1:]
         focal = sigmoid_focal_loss(logits, cls_t, self.alpha, self.gamma)
-        num_pos = jnp.maximum(pos.sum(), 1.0)
+        num_pos = jnp.maximum(
+            pos.sum() if present_total is None else present_total, 1.0)
         loss_cls = jnp.where(valid[..., None], focal, 0.0).sum() / num_pos
 
         matched = jnp.take_along_axis(tgt_boxes, best_gt[..., None], axis=1)

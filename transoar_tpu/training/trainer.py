@@ -148,12 +148,14 @@ def make_train_step(model, criterion: Criterion, config, anchors, mesh=None):
     nan_guard = config.get("trainer", {}).get("nan_guard", "off")
     mb_mode = config.get("trainer", {}).get("microbatch", False)
     microbatch = mb_mode is True  # "grads" falls back to plain batching
-    mb_grads = mb_mode == "grads" and type(criterion) is Criterion \
-        and not criterion.seg_proxy
+    # a criterion opts into the grads scan by declaring exactness and a
+    # batch-global normalizer (Criterion and RetinaCriterion do; the seg
+    # proxy and the DETR set criterion couple the batch in numerators)
+    mb_grads = mb_mode == "grads" and \
+        getattr(criterion, "grads_scan_exact", False)
     if mb_mode == "grads" and not mb_grads:
         logger.info("microbatch='grads' unavailable for this criterion "
-                    "(seg proxy / non-Criterion losses couple the batch in "
-                    "their numerators) — using plain batching")
+                    "(batch-coupled loss numerators) — using plain batching")
 
     def apply_model(params, image, step_rng):
         if not microbatch or image.shape[0] == 1:
@@ -189,7 +191,7 @@ def make_train_step(model, criterion: Criterion, config, anchors, mesh=None):
 
         if mb_grads and B > mb_dp:
             # exact per-sample fwd+bwd accumulation (see mb_mode comment)
-            present_total = targets["present"].sum()
+            present_total = criterion.batch_normalizer(targets, anchors)
             local_b = B // mb_dp
 
             P = mesh_lib.P
