@@ -71,9 +71,16 @@ def relative_position_index(ws) -> np.ndarray:
     return rel.sum(-1)
 
 
-def shifted_window_mask(padded_shape, ws, ss) -> np.ndarray:
+def shifted_window_mask(padded_shape, ws, ss):
     """[nW, N, N] additive mask (0 / -100) separating the cyclically wrapped
-    regions of shifted windows (encoder_blocks.py:387-400)."""
+    regions of shifted windows (encoder_blocks.py:387-400).
+
+    Only the [1, Dp, Hp, Wp, 1] region-label image is a host constant; the
+    [nW, N, N] pairwise mask is computed ON DEVICE in jnp. Materializing it
+    host-side inlines a multi-MB literal into the HLO per shifted block —
+    at VISCERAL size (stage 2 = 40x40x64, 832 windows x 125 x 125) that
+    overflowed the axon remote-compile upload limit (HTTP 413, CLAUDE.md
+    traps)."""
     Dp, Hp, Wp = padded_shape
 
     def axis_regions(ws_i, ss_i):
@@ -92,14 +99,13 @@ def shifted_window_mask(padded_shape, ws, ss) -> np.ndarray:
             for w in axis_regions(ws[2], ss[2]):
                 img[:, d, h, w, :] = cnt
                 cnt += 1
-    # pure numpy: window_partition is reshape/transpose method calls, so it
-    # works on the np array directly — routing through jnp here would turn
-    # the mask into a TRACER when a shifted block is traced under jit
-    # (np.asarray of a tracer raises; bench --config swin_fpn_visceral
-    # caught this at 64x64x32 where the shifted branch engages in-jit)
-    windows = window_partition(img, ws)[..., 0]
+    # the region image stays numpy (small constant); everything after is
+    # jnp so the big mask is computed on device, never np-converted (a
+    # np.asarray of the traced result raised TracerArrayConversionError
+    # when the shifted branch was first traced under jit)
+    windows = window_partition(jnp.asarray(img), ws)[..., 0]
     diff = windows[:, None, :] - windows[:, :, None]
-    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+    return jnp.where(diff != 0, -100.0, 0.0).astype(jnp.float32)
 
 
 class WindowAttention3D(nn.Module):
