@@ -87,8 +87,22 @@ def attribute(logdir, top, total_dispatches):
     for base, ms in by_cat.most_common(25):
         print(f"{ms / n:9.3f}  {100 * ms / total:5.1f}  {base}")
     print(f"\nby op ({'ms/step':>9}):")
+    # one representative event's args per op: XPlane carries the HLO
+    # long_name / source metadata, which is what attributes a bare
+    # `copy.1429` to the producing module/op
+    op_args = {}
+    for e in events:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_lanes:
+            continue
+        name = e.get("name", "?")
+        if name not in op_args and e.get("args"):
+            op_args[name] = e["args"]
     for name, ms in by_op.most_common(top):
         print(f"{ms / n:9.3f}  {100 * ms / total:5.1f}  {name[:110]}")
+        args = op_args.get(name) or {}
+        for key in ("long_name", "source", "tf_op", "hlo_module"):
+            if args.get(key):
+                print(f"{'':18}{key}: {str(args[key])[:160]}")
 
 
 def main():
