@@ -151,3 +151,71 @@ def test_auto_resume_relaunch(tmp_path, monkeypatch):
     st = create_train_state(model, cfg2, example, jax.random.key(0), 2)
     _, epoch, _ = ckpt_lib.restore_checkpoint(run_dir / "model_last", st)
     assert epoch == 2
+
+
+def test_h2d_compression_step_equivalence():
+    """Transfer compression (Trainer._compress_h2d: image bf16, seg int8)
+    must leave the step semantically intact: the seg int8 path is lossless
+    (identical targets), the image bf16 path only moves the bf16 rounding
+    ahead of the intensity window (losses agree to bf16 tolerance)."""
+    from tests.helpers import synthetic_batch, tiny_config
+    from transoar_tpu.models.criterion import Criterion
+    from transoar_tpu.models.transoarnet import build_transoarnet
+    from transoar_tpu.training.trainer import make_train_step
+
+    cfg = tiny_config(num_organs=3, qpo=7, patch=(32, 32, 16))
+    cfg["neck"]["dropout"] = 0.0
+    model = build_transoarnet(cfg)
+    example = jnp.zeros((2, 32, 32, 16, 1))
+    images, seg = synthetic_batch(cfg, batch_size=2, seed=0)
+    crit = Criterion(cfg)
+    rng = jax.random.key(3)
+
+    results = {}
+    for compressed in (False, True):
+        if compressed:
+            batch = {"image": jnp.asarray(images).astype(jnp.bfloat16),
+                     "seg": jnp.asarray(seg.astype(np.int8))}
+        else:
+            batch = {"image": jnp.asarray(images), "seg": jnp.asarray(seg)}
+        state = create_train_state(model, cfg, example, jax.random.key(0),
+                                   4)
+        step = jax.jit(make_train_step(model, crit, cfg, model.anchors))
+        state, losses = step(state, batch, rng)
+        results[compressed] = losses
+
+    for key in results[False]:
+        np.testing.assert_allclose(
+            float(results[False][key]), float(results[True][key]),
+            rtol=2e-2, err_msg=key)
+
+
+def test_trainer_compress_h2d_dtypes(tmp_path):
+    """Trainer._compress_h2d: image -> bf16 (default), seg -> int8; and the
+    float32 opt-out keeps the image untouched."""
+    from transoar_tpu.data.dataset import get_loader
+    from transoar_tpu.models.transoarnet import build_transoarnet
+    from transoar_tpu.training.trainer import Trainer
+
+    cfg, ds_root = _setup_run(tmp_path, epochs=1)
+    model = build_transoarnet(cfg)
+    loader = get_loader(cfg, "train", data_dir=ds_root)
+    example = jnp.zeros((2, 32, 32, 16, 1))
+    state = create_train_state(model, cfg, example, jax.random.key(0),
+                               steps_per_epoch=max(len(loader), 1))
+    trainer = Trainer(cfg, model, loader, loader, tmp_path / "runs" / "hh",
+                      state=state)
+    trainer._writer = None
+    batch = next(iter(loader))
+    comp = trainer._compress_h2d(batch)
+    assert comp["image"].dtype == jnp.bfloat16
+    assert comp["seg"].dtype == np.int8
+
+    cfg2 = {**cfg, "trainer": {**cfg["trainer"], "h2d_dtype": "float32"}}
+    trainer2 = Trainer(cfg2, model, loader, loader,
+                       tmp_path / "runs" / "hh2", state=trainer.state)
+    trainer2._writer = None
+    comp2 = trainer2._compress_h2d(batch)
+    assert comp2["image"].dtype == np.float32
+    means = trainer._train_one_epoch(1)
+    assert np.isfinite(means["total"])

@@ -168,6 +168,13 @@ def make_train_step(model, criterion: Criterion, config, anchors, mesh=None):
     def train_step(state, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
         image, seg = batch["image"], batch["seg"]
+        # undo the H2D transfer compression (Trainer._compress_h2d): the
+        # image upcast is what the first bf16 matmul would do anyway, the
+        # seg upcast is lossless
+        if image.dtype != jnp.float32:
+            image = image.astype(jnp.float32)
+        if seg.dtype != jnp.int32:
+            seg = seg.astype(jnp.int32)
         if use_aug:
             from transoar_tpu.data.transforms import augment_batch
 
@@ -277,12 +284,16 @@ def make_eval_step(model, criterion: Criterion, config, anchors, mesh=None):
     stats = config.get("foreground_voxel_statistics")
 
     def eval_step(state, batch):
-        image = batch["image"]
+        image, seg = batch["image"], batch["seg"]
+        if image.dtype != jnp.float32:  # H2D compression (Trainer)
+            image = image.astype(jnp.float32)
+        if seg.dtype != jnp.int32:
+            seg = seg.astype(jnp.int32)
         if stats is not None:
             from transoar_tpu.data.transforms import eval_transform
 
             image = eval_transform(image, stats)
-        targets = derive_targets(batch["seg"], num_classes, padding)
+        targets = derive_targets(seg, num_classes, padding)
         # per-device-row map: batched eval forwards pay the same conv
         # penalty batched training did (52.4 -> 34.6 vol/s at batch 2,
         # PERFORMANCE.md §Serving); the map makes eval/serving throughput
@@ -333,6 +344,7 @@ class Trainer:
         # per-device per-volume speed matches the batch-1 graph on any dp
         # mesh (make_train_step regroup).
         self._config = config
+        self._h2d_dtype = str(config["trainer"].get("h2d_dtype", "bfloat16"))
         self._rng = rng if rng is not None else jax.random.key(
             config.get("seed", 0))
 
@@ -393,9 +405,32 @@ class Trainer:
         self.state = jax.device_put(state, state_sh)
 
     # -- data placement ----------------------------------------------------
+    def _compress_h2d(self, batch):
+        """Shrink the host->device transfer (the volumes dominate it:
+        f32 image + i32 seg = 64 MB/volume at AMOS size).
+
+        - image -> bfloat16 when ``trainer.h2d_dtype: bfloat16`` (default):
+          the model computes in bf16 anyway, so the only delta is bf16
+          rounding BEFORE the in-graph intensity window instead of after —
+          ~2^-8 relative, below augmentation noise. Set ``float32`` to
+          keep full-precision transfers.
+        - seg -> int8, LOSSLESS while num_organs < 128.
+
+        2.7x less H2D traffic; matters on PCIe-attached hosts and
+        decisively on this tunnel-attached rig (~14.5 MB/s raw H2D).
+        """
+        image, seg = batch["image"], batch["seg"]
+        if self._h2d_dtype == "bfloat16" and \
+                image.dtype == np.float32:
+            image = image.astype(jnp.bfloat16)
+        if self._config["neck"]["num_organs"] < 128 and \
+                seg.dtype != np.int8:
+            seg = seg.astype(np.int8)
+        return {"image": image, "seg": seg}
+
     def _device_batch(self, batch, local_rows=None):
         return mesh_lib.shard_batch(
-            {"image": batch["image"], "seg": batch["seg"]}, self._mesh,
+            self._compress_h2d(batch), self._mesh,
             local_rows=local_rows,
             global_batch=self._config["trainer"]["batch_size"])
 
@@ -431,7 +466,8 @@ class Trainer:
         for batch in loader:
             pending.append(batch)
             if len(pending) == k:
-                stacked = {key: np.stack([b[key] for b in pending])
+                pending_c = [self._compress_h2d(b) for b in pending]
+                stacked = {key: np.stack([b[key] for b in pending_c])
                            for key in ("image", "seg")}
                 # mesh-aware placement — bare device_put would fight the
                 # replicated out_shardings on a dp/sp>1 mesh
