@@ -247,7 +247,13 @@ class RetinaCriterion:
             pos.sum() if present_total is None else present_total, 1.0)
         loss_cls = jnp.where(valid[..., None], focal, 0.0).sum() / num_pos
 
-        matched = jnp.take_along_axis(tgt_boxes, best_gt[..., None], axis=1)
+        # one-hot matmul instead of take_along_axis: a [A]-indexed vector
+        # gather from the tiny [G, 6] target table lowers to a 2.4 ms/step
+        # gather kernel at 1.3M anchors (batch-1 profile); the [A, G] @
+        # [G, 6] matmul is ~0.24 GFLOP and fuses
+        onehot = jax.nn.one_hot(best_gt, tgt_boxes.shape[1],
+                                dtype=tgt_boxes.dtype)
+        matched = jnp.einsum("bag,bgc->bac", onehot, tgt_boxes)
         tgt_deltas = encode_deltas(matched, anchors[None])
         l1 = jnp.abs(deltas - tgt_deltas).sum(-1)
         loss_bbox = jnp.where(pos, l1, 0.0).sum() / num_pos
