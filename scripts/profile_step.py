@@ -108,8 +108,9 @@ def attribute(logdir, top, total_dispatches):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch_size", type=int, default=2)
-    parser.add_argument("--patch", type=int, nargs=3,
-                        default=[256, 256, 128])
+    parser.add_argument("--patch", type=int, nargs=3, default=None,
+                        help="volume shape (default: the config's own "
+                             "patch_size; 256 256 128 for the flagship)")
     parser.add_argument("--steps", type=int, default=2,
                         help="traced multi-step dispatches")
     parser.add_argument("--scan_steps", type=int, default=4)
@@ -120,7 +121,15 @@ def main():
                              "the flagship (bench.py --config)")
     args = parser.parse_args()
 
-    capture(args.batch_size, tuple(args.patch), args.steps, args.scan_steps,
+    if args.patch is not None:
+        patch = tuple(args.patch)
+    elif args.config:
+        from transoar_tpu.utils.io import get_config
+
+        patch = tuple(get_config(args.config)["augmentation"]["patch_size"])
+    else:
+        patch = (256, 256, 128)
+    capture(args.batch_size, patch, args.steps, args.scan_steps,
             args.logdir, config_name=args.config)
     attribute(args.logdir, args.top, args.steps * args.scan_steps)
 
