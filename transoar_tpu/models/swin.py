@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,16 +72,13 @@ def relative_position_index(ws) -> np.ndarray:
     return rel.sum(-1)
 
 
-def shifted_window_mask(padded_shape, ws, ss):
-    """[nW, N, N] additive mask (0 / -100) separating the cyclically wrapped
-    regions of shifted windows (encoder_blocks.py:387-400).
-
-    Only the [1, Dp, Hp, Wp, 1] region-label image is a host constant; the
-    [nW, N, N] pairwise mask is computed ON DEVICE in jnp. Materializing it
-    host-side inlines a multi-MB literal into the HLO per shifted block —
-    at VISCERAL size (stage 2 = 40x40x64, 832 windows x 125 x 125) that
-    overflowed the axon remote-compile upload limit (HTTP 413, CLAUDE.md
-    traps)."""
+def shifted_window_regions(padded_shape, ws, ss) -> np.ndarray:
+    """[nW, N] per-token region labels of the cyclic shift — the COMPACT
+    form of the shifted-window mask (two tokens may attend iff their
+    labels match; encoder_blocks.py:387-400). Pure numpy and small
+    (~3 MB at VISCERAL stage 2 vs 416 MB for the [nW, N, N] mask), so it
+    can live as a host constant; consumers expand it where needed (the
+    Pallas fused-attention kernel rebuilds the mask in-register)."""
     Dp, Hp, Wp = padded_shape
 
     def axis_regions(ws_i, ss_i):
@@ -99,13 +97,22 @@ def shifted_window_mask(padded_shape, ws, ss):
             for w in axis_regions(ws[2], ss[2]):
                 img[:, d, h, w, :] = cnt
                 cnt += 1
-    # the region image stays numpy (small constant); everything after is
-    # jnp so the big mask is computed on device, never np-converted (a
-    # np.asarray of the traced result raised TracerArrayConversionError
-    # when the shifted branch was first traced under jit)
-    windows = window_partition(jnp.asarray(img), ws)[..., 0]
-    diff = windows[:, None, :] - windows[:, :, None]
-    return jnp.where(diff != 0, -100.0, 0.0).astype(jnp.float32)
+    # window_partition is reshape/transpose method calls — works on the
+    # numpy array directly, so the labels stay a host constant
+    return window_partition(img, ws)[..., 0].astype(np.float32)
+
+
+def shifted_window_mask(padded_shape, ws, ss):
+    """[nW, N, N] additive mask (0 / -100) expanded ON DEVICE from the
+    region labels (the XLA attention path needs the dense form).
+    Materializing it host-side would inline a multi-MB literal into the
+    HLO per shifted block — at VISCERAL size that overflowed the axon
+    remote-compile upload limit (HTTP 413, CLAUDE.md traps); expanding a
+    traced-then-np round trip instead raised TracerArrayConversionError.
+    Hence: numpy labels in, jnp expansion out."""
+    r = jnp.asarray(shifted_window_regions(padded_shape, ws, ss))
+    return jnp.where(r[:, :, None] != r[:, None, :], -100.0, 0.0
+                     ).astype(jnp.float32)
 
 
 class WindowAttention3D(nn.Module):
@@ -116,8 +123,8 @@ class WindowAttention3D(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic=True):
-        """x: [B_, N, C]; mask: [nW, N, N] or None."""
+    def __call__(self, x, regions=None, deterministic=True):
+        """x: [B_, N, C]; regions: [nW, N] numpy region labels or None."""
         B_, N, C = x.shape
         H = self.num_heads
         head_dim = C // H
@@ -129,8 +136,6 @@ class WindowAttention3D(nn.Module):
         qkv = qkv.reshape(B_, N, 3, H, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]  # [B_, H, N, hd]
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
-
         table = self.param(
             "rel_pos_bias",
             nn.initializers.truncated_normal(0.02),
@@ -138,16 +143,39 @@ class WindowAttention3D(nn.Module):
             jnp.float32)
         idx = jnp.asarray(relative_position_index(ws).reshape(-1))
         bias = table[idx].reshape(N, N, H).transpose(2, 0, 1)
-        attn = attn + bias[None]
 
-        if mask is not None:
-            nW = mask.shape[0]
-            attn = attn.reshape(B_ // nW, nW, H, N, N) + \
-                jnp.asarray(mask)[None, :, None]
-            attn = attn.reshape(B_, H, N, N)
+        import os
 
-        attn = nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        # Pallas fused window attention: measured END-TO-END SLOWER than
+        # XLA (swin_fpn_visceral 4.38 -> 3.67 vol/s) despite winning the
+        # score-tensor traffic: the pallas_call boundary forces q/k/v into
+        # materialized [B_, H, N, d] layouts that XLA otherwise fuses into
+        # the surrounding reshapes — same lesson as the round-3 packed-conv
+        # kernels (PERFORMANCE.md §round-4 experiment record). Env-gated
+        # opt-in for future hardware/toolchains; correctness stays pinned
+        # by tests/test_swin.py.
+        use_fused = (jax.default_backend() == "tpu"
+                     and bool(os.environ.get("TRANSOAR_FUSED_ATTN")))
+        if use_fused:
+            from transoar_tpu.ops.pallas.window_attention import \
+                fused_window_attention
+
+            reg = (jnp.asarray(regions) if regions is not None
+                   else jnp.zeros((1, N), jnp.float32))
+            out = fused_window_attention(q, k, v, bias, reg)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
+            attn = attn + bias[None]
+            if regions is not None:
+                r = jnp.asarray(regions)
+                mask = jnp.where(r[:, :, None] != r[:, None, :],
+                                 -100.0, 0.0).astype(jnp.float32)
+                nW = mask.shape[0]
+                attn = attn.reshape(B_ // nW, nW, H, N, N) + \
+                    mask[None, :, None]
+                attn = attn.reshape(B_, H, N, N)
+            attn = nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
         return nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
                         name="proj")(out)
@@ -181,14 +209,14 @@ class SwinBlock(nn.Module):
 
         if any(ss):
             x = jnp.roll(x, shift=(-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
-            mask = shifted_window_mask((Dp, Hp, Wp), ws, ss)
+            regions = shifted_window_regions((Dp, Hp, Wp), ws, ss)
         else:
-            mask = None
+            regions = None
 
         windows = window_partition(x, ws)
         attn = WindowAttention3D(C, ws, self.num_heads, self.qkv_bias,
                                  dtype=self.dtype, name="attn")(
-            windows, mask=mask, deterministic=deterministic)
+            windows, regions=regions, deterministic=deterministic)
         x = window_reverse(attn, ws, B, Dp, Hp, Wp)
 
         if any(ss):
