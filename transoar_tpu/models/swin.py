@@ -133,8 +133,16 @@ class WindowAttention3D(nn.Module):
 
         qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        param_dtype=jnp.float32, name="qkv")(x)
-        qkv = qkv.reshape(B_, N, 3, H, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0] * scale, qkv[1], qkv[2]  # [B_, H, N, hd]
+        # Keep q/k/v in the Dense output's native [B_, N, H, hd] order and
+        # let the dots carry the head axis — the torch-style
+        # `.transpose(2, 0, 3, 1, 4)` head split materializes [3,B_,H,N,hd]
+        # tensors whose minor dim is hd=16 (12.5% of a 128-lane tile), and
+        # its fwd+bwd copies measured ~50 ms/step at VISCERAL stage 2
+        # (PERFORMANCE.md §swin). Same contractions, same values.
+        qkv = qkv.reshape(B_, N, 3, H, head_dim)
+        q = qkv[:, :, 0] * scale
+        k = qkv[:, :, 1]
+        v = qkv[:, :, 2]  # [B_, N, H, hd]
 
         table = self.param(
             "rel_pos_bias",
@@ -162,9 +170,12 @@ class WindowAttention3D(nn.Module):
 
             reg = (jnp.asarray(regions) if regions is not None
                    else jnp.zeros((1, N), jnp.float32))
-            out = fused_window_attention(q, k, v, bias, reg)
+            out = fused_window_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), bias, reg)
+            out = out.transpose(0, 2, 1, 3)  # back to [B_, N, H, hd]
         else:
-            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32)
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32)
             attn = attn + bias[None]
             if regions is not None:
                 r = jnp.asarray(regions)
@@ -175,8 +186,8 @@ class WindowAttention3D(nn.Module):
                     mask[None, :, None]
                 attn = attn.reshape(B_, H, N, N)
             attn = nn.softmax(attn, axis=-1).astype(self.dtype)
-            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        out = out.reshape(B_, N, C)
         return nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
                         name="proj")(out)
 
