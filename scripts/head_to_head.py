@@ -316,9 +316,12 @@ def side_jax(args):
         raw = load_yaml(REPO / "config" / f"{args.config}.yaml")
         raw["trainer"]["epochs"] = args.epochs
         raw["experiment_name"] = cfg["experiment_name"]
-        config_name = "_h2h_smoke"
-        (REPO / "config" / f"{config_name}.yaml").write_text(
-            yaml.safe_dump(raw))
+        # write the generated override OUTSIDE the tracked config dir
+        # (train.py / get_config accept explicit .yaml paths)
+        jax_run.mkdir(parents=True, exist_ok=True)
+        override = jax_run / "_h2h_smoke.yaml"
+        override.write_text(yaml.safe_dump(raw))
+        config_name = str(override)
 
     from transoar_tpu.data.dataset import TransoarDataset
 

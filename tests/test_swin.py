@@ -146,6 +146,61 @@ def test_shifted_block_traces_under_jit():
     assert np.all(np.isfinite(np.asarray(out, np.float32)))
 
 
+def test_fast_layernorm_matches_flax(rng):
+    """FastLayerNorm must be a drop-in for nn.LayerNorm: identical params
+    (scale/bias) and matching outputs in f32."""
+    import flax.linen as nn
+
+    from transoar_tpu.models.layers import FastLayerNorm
+
+    x = jnp.asarray(rng.normal(size=(3, 7, 48)).astype(np.float32) * 3 + 1)
+    ref = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+    fast = FastLayerNorm(epsilon=1e-5, dtype=jnp.float32)
+    p = ref.init(jax.random.key(0), x)
+    # non-trivial affine
+    p = jax.tree.map(lambda v: v + 0.3, p)
+    assert jax.tree_util.tree_structure(p) == \
+        jax.tree_util.tree_structure(fast.init(jax.random.key(0), x))
+    np.testing.assert_allclose(np.asarray(fast.apply(p, x)),
+                               np.asarray(ref.apply(p, x)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_blocked_attention_matches_flat():
+    """The blocked-layout window attention (default; no window_partition /
+    window_reverse materialization) must match the flat-window formulation
+    exactly: same params, same contractions — shifted AND unshifted blocks,
+    gradients included."""
+    from transoar_tpu.models.swin import SwinBlock
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 10, 10, 5, 8)).astype(np.float32))
+    for shift in (False, True):
+        blk_flat = SwinBlock(dim=8, num_heads=2, window_size=(5, 5, 5),
+                             shift=shift, blocked_attn=False,
+                             dtype=jnp.float32)
+        blk_blocked = SwinBlock(dim=8, num_heads=2, window_size=(5, 5, 5),
+                                shift=shift, blocked_attn=True,
+                                dtype=jnp.float32)
+        params = blk_flat.init(jax.random.key(0), x)
+        # identical param tree (same module/param names in both paths)
+        chex_tree = jax.tree_util.tree_structure(params)
+        assert chex_tree == jax.tree_util.tree_structure(
+            blk_blocked.init(jax.random.key(0), x))
+        o_flat = blk_flat.apply(params, x)
+        o_blk = blk_blocked.apply(params, x)
+        np.testing.assert_allclose(np.asarray(o_blk), np.asarray(o_flat),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"shift={shift}")
+        g_flat = jax.grad(lambda p: (blk_flat.apply(p, x) ** 2).sum())(
+            params)
+        g_blk = jax.grad(lambda p: (blk_blocked.apply(p, x) ** 2).sum())(
+            params)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4), g_flat,
+            g_blk)
+
+
 def test_fused_window_attention_matches_xla():
     """Pallas fused window attention (interpret mode off-TPU) vs the pure
     XLA formulation: forward exact-ish, all four gradients (q, k, v and the

@@ -97,6 +97,7 @@ class Encoder(nn.Module):
                     mlp_ratio=swin_cfg["mlp_ratio"],
                     qkv_bias=swin_cfg["qkv_bias"],
                     conv_merging=swin_cfg.get("conv_merging", False),
+                    blocked_attn=swin_cfg.get("blocked_attn", True),
                     drop_path=tuple(dpr[lo:lo + depths[stage - 2]]),
                     dtype=self.dtype,
                     name=f"stage{stage}",

@@ -73,6 +73,36 @@ class InstanceNorm(nn.Module):
         return x.astype(self.dtype) * mul + add
 
 
+class FastLayerNorm(nn.Module):
+    """Last-axis LayerNorm, drop-in for ``nn.LayerNorm(epsilon=1e-5)``:
+    identical params ("scale"/"bias", f32) and identical math (fast
+    variance, eps inside rsqrt — what flax and torch both compute).
+
+    Implemented by hand for the same reason as ``InstanceNorm``: flax's
+    norm layers materialize an f32 copy of the activation; at SwinFPN
+    VISCERAL scale (832k tokens x 48ch per block, 4 LNs per block) that is
+    ~25 ms/step of pure conversion traffic (round-4 profile,
+    flax/linen/normalization.py lines). Here the f32 convert fuses into the
+    reductions and the normalization pass reads bf16 / writes bf16; the f32
+    intermediates live in registers.
+    """
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        mean2 = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        return (((xf - mean) * inv).astype(self.dtype)
+                * scale.astype(self.dtype) + bias.astype(self.dtype))
+
+
 class ConvInReLU(nn.Module):
     """Conv3D + InstanceNorm + ReLU (one half of EncoderCnnBlock).
 

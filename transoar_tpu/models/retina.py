@@ -215,17 +215,29 @@ class RetinaCriterion:
         batch in its numerators, so it opts out."""
         return not self.seg_proxy
 
-    def batch_normalizer(self, targets, anchors):
-        _, best_iou = self._assign(targets["boxes"].astype(jnp.float32),
-                                   targets["present"], anchors)
-        return (best_iou >= self.pos_iou).sum()
+    def scan_aux(self, targets, anchors):
+        """Per-sample anchor assignment rows [B, A] for the trainer's grads
+        scan: a pure function of targets+anchors, computed ONCE per step and
+        threaded through the scan so neither ``batch_normalizer`` nor the
+        per-sub-batch ``__call__`` repeats the [B, A, G] IoU pass (~1.3M
+        anchors at AMOS size)."""
+        best_gt, best_iou = self._assign(
+            targets["boxes"].astype(jnp.float32), targets["present"],
+            anchors)
+        return {"best_gt": best_gt, "best_iou": best_iou}
 
-    def __call__(self, outputs, targets, anchors, present_total=None):
+    def batch_normalizer(self, targets, anchors, aux=None):
+        if aux is None:
+            aux = self.scan_aux(targets, anchors)
+        return (aux["best_iou"] >= self.pos_iou).sum()
+
+    def __call__(self, outputs, targets, anchors, present_total=None,
+                 aux=None):
         """anchors [A, 6] cxcyczwhd; targets boxes [B, G, 6] + present.
 
         ``present_total``: batch-global positive-anchor count
         (batch_normalizer) — per-sample calls normalized by it SUM to the
-        batched losses exactly.
+        batched losses exactly. ``aux``: precomputed ``scan_aux`` rows.
         """
         logits = outputs["anchor_logits"]  # [B, A, C]
         deltas = outputs["anchor_deltas"]  # [B, A, 6]
@@ -233,7 +245,10 @@ class RetinaCriterion:
         present = targets["present"]
         B, A, C = logits.shape
 
-        best_gt, best_iou = self._assign(tgt_boxes, present, anchors)
+        if aux is not None:
+            best_gt, best_iou = aux["best_gt"], aux["best_iou"]
+        else:
+            best_gt, best_iou = self._assign(tgt_boxes, present, anchors)
 
         pos = best_iou >= self.pos_iou                 # [B, A]
         neg = best_iou < self.neg_iou

@@ -18,6 +18,7 @@ reshape/transpose, so XLA fuses it into the attention kernels.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence, Tuple
 
 import flax.linen as nn
@@ -25,8 +26,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from transoar_tpu.models.layers import InstanceNorm
+from transoar_tpu.models.layers import FastLayerNorm, InstanceNorm
 from transoar_tpu.ops.conv3d import FastConv3D
+
+# Kernel-choice flags are read ONCE at import so a run cannot silently mix
+# paths across modules traced at different times (advisor finding r4):
+# - TRANSOAR_FUSED_ATTN: opt-in Pallas fused window attention (measured
+#   end-to-end slower on the current toolchain, see WindowAttention3D).
+# - TRANSOAR_SWIN_BLOCKED=0/1: override the config's blocked_attn choice.
+_FUSED_ATTN = bool(os.environ.get("TRANSOAR_FUSED_ATTN"))
+_BLOCKED_ENV = os.environ.get("TRANSOAR_SWIN_BLOCKED")
 
 
 def effective_window(spatial, window_size, shift_size):
@@ -122,9 +131,81 @@ class WindowAttention3D(nn.Module):
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
+    def _bias(self, N):
+        ws = self.window_size
+        table = self.param(
+            "rel_pos_bias",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws[0] - 1) * (2 * ws[1] - 1) * (2 * ws[2] - 1),
+             self.num_heads),
+            jnp.float32)
+        idx = jnp.asarray(relative_position_index(ws).reshape(-1))
+        return table[idx].reshape(N, N, self.num_heads).transpose(2, 0, 1)
+
+    def _blocked(self, x, regions):
+        """Window attention with the partition transposes moved ADJACENT to
+        the two Dense matmuls.
+
+        x: [B, p, wd, q, wh, r, ww, C] — the free 8-D reshape of the padded
+        volume (window grid (p, q, r), in-window (wd, wh, ww)). The flat
+        path transposes the volume-sized activation BEFORE the qkv Dense
+        and AFTER the proj Dense (``window_partition``/``window_reverse``);
+        those standalone copies plus the qkv-grad reshapes XLA inserts
+        around the flat head-split cost ~105 ms/step at VISCERAL stage 2
+        (round-4 profile). Here the only transposes sit directly on a dot
+        output (qkv) / dot input (proj), where XLA's layout assignment can
+        absorb them into the matmul instead of emitting a copy — and the
+        attention core runs on clean ``[B, p, q, r, N, ...]`` shapes whose
+        minor dims tile well.
+
+        A fully transpose-free variant (11-D ``dot_general`` over the
+        interleaved window axes) was tried first and is unusable on this
+        toolchain: the dot forces the score tensor into a layout with the
+        size-5 window axes as lane/sublane dims, padding (8, 128) tiles
+        41x (a 1.25 GB logical tensor allocated 51 GB — compile-time OOM).
+
+        Same contractions, same values as the flat path (equality
+        test-pinned, tests/test_swin.py)."""
+        B, p, wd, q_, wh, r, ww, C = x.shape
+        H = self.num_heads
+        hd = C // H
+        N = wd * wh * ww
+
+        qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="qkv")(x)
+        # collect windows AFTER the Dense: transpose [.., 3C]-minor output
+        # (a dot output — its layout is XLA's to choose) instead of the
+        # pre-Dense activation
+        qkv = qkv.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # [B,p,q,r,wd,wh,ww,3C]
+        qkv = qkv.reshape(B, p, q_, r, N, 3, H, hd)
+        q = qkv[..., 0, :, :] * (hd ** -0.5)
+        k = qkv[..., 1, :, :]
+        v = qkv[..., 2, :, :]  # [B, p, q, r, N, H, hd]
+
+        attn = jnp.einsum("bpqrnhd,bpqrmhd->bpqrhnm", q, k)
+        attn = attn.astype(jnp.float32) + self._bias(N)[
+            None, None, None, None]
+        if regions is not None:
+            reg = jnp.asarray(np.ascontiguousarray(
+                regions.reshape(p, q_, r, N)))
+            attn = attn + jnp.where(
+                reg[..., :, None] != reg[..., None, :], -100.0, 0.0
+            )[None, :, :, :, None]
+        attn = nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bpqrhnm,bpqrmhd->bpqrnhd", attn, v)
+        out = out.reshape(B, p, q_, r, wd, wh, ww, C)
+        out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="proj")(out)
+        # un-collect windows right AFTER the proj Dense (same absorption
+        # argument, mirrored)
+        return out.transpose(0, 1, 4, 2, 5, 3, 6, 7)  # [B,p,wd,q,wh,r,ww,C]
+
     @nn.compact
     def __call__(self, x, regions=None, deterministic=True):
-        """x: [B_, N, C]; regions: [nW, N] numpy region labels or None."""
+        """x: [B_, N, C] (flat windows) or 8-D blocked (see ``_blocked``);
+        regions: [nW, N] numpy region labels or None."""
+        if x.ndim == 8:
+            return self._blocked(x, regions)
         B_, N, C = x.shape
         H = self.num_heads
         head_dim = C // H
@@ -144,15 +225,7 @@ class WindowAttention3D(nn.Module):
         k = qkv[:, :, 1]
         v = qkv[:, :, 2]  # [B_, N, H, hd]
 
-        table = self.param(
-            "rel_pos_bias",
-            nn.initializers.truncated_normal(0.02),
-            ((2 * ws[0] - 1) * (2 * ws[1] - 1) * (2 * ws[2] - 1), H),
-            jnp.float32)
-        idx = jnp.asarray(relative_position_index(ws).reshape(-1))
-        bias = table[idx].reshape(N, N, H).transpose(2, 0, 1)
-
-        import os
+        bias = self._bias(N)
 
         # Pallas fused window attention: measured END-TO-END SLOWER than
         # XLA (swin_fpn_visceral 4.38 -> 3.67 vol/s) despite winning the
@@ -160,10 +233,9 @@ class WindowAttention3D(nn.Module):
         # materialized [B_, H, N, d] layouts that XLA otherwise fuses into
         # the surrounding reshapes — same lesson as the round-3 packed-conv
         # kernels (PERFORMANCE.md §round-4 experiment record). Env-gated
-        # opt-in for future hardware/toolchains; correctness stays pinned
-        # by tests/test_swin.py.
-        use_fused = (jax.default_backend() == "tpu"
-                     and bool(os.environ.get("TRANSOAR_FUSED_ATTN")))
+        # opt-in for future hardware/toolchains (read once at import —
+        # _FUSED_ATTN); correctness stays pinned by tests/test_swin.py.
+        use_fused = jax.default_backend() == "tpu" and _FUSED_ATTN
         if use_fused:
             from transoar_tpu.ops.pallas.window_attention import \
                 fused_window_attention
@@ -200,6 +272,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     drop_path: float = 0.0
+    blocked_attn: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -212,7 +285,7 @@ class SwinBlock(nn.Module):
             else (0, 0, 0))
 
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = FastLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
 
         pad = [(0, (ws[i] - x.shape[1 + i] % ws[i]) % ws[i]) for i in range(3)]
         x = jnp.pad(x, [(0, 0)] + pad + [(0, 0)])
@@ -224,11 +297,27 @@ class SwinBlock(nn.Module):
         else:
             regions = None
 
-        windows = window_partition(x, ws)
-        attn = WindowAttention3D(C, ws, self.num_heads, self.qkv_bias,
-                                 dtype=self.dtype, name="attn")(
-            windows, regions=regions, deterministic=deterministic)
-        x = window_reverse(attn, ws, B, Dp, Hp, Wp)
+        # blocked path (default): attention in the free 8-D reshape — no
+        # window_partition/window_reverse transposes (the single largest
+        # swin cost, ~105 ms/step at VISCERAL scale; see
+        # WindowAttention3D._blocked). The Pallas fused kernel needs flat
+        # windows, so TRANSOAR_FUSED_ATTN forces the flat path.
+        blocked = self.blocked_attn and not _FUSED_ATTN
+        if _BLOCKED_ENV is not None:
+            blocked = _BLOCKED_ENV not in ("0", "false", "off")
+        attn_mod = WindowAttention3D(C, ws, self.num_heads, self.qkv_bias,
+                                     dtype=self.dtype, name="attn")
+        if blocked:
+            x8 = x.reshape(B, Dp // ws[0], ws[0], Hp // ws[1], ws[1],
+                           Wp // ws[2], ws[2], C)
+            out8 = attn_mod(x8, regions=regions,
+                            deterministic=deterministic)
+            x = out8.reshape(B, Dp, Hp, Wp, C)
+        else:
+            windows = window_partition(x, ws)
+            attn = attn_mod(windows, regions=regions,
+                            deterministic=deterministic)
+            x = window_reverse(attn, ws, B, Dp, Hp, Wp)
 
         if any(ss):
             x = jnp.roll(x, shift=ss, axis=(1, 2, 3))
@@ -247,7 +336,7 @@ class SwinBlock(nn.Module):
 
         x = shortcut + droppath(x)
 
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        h = FastLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
                      param_dtype=jnp.float32, name="mlp1")(h)
         # exact erf GELU (torch nn.GELU default); flax's default is the
@@ -282,7 +371,8 @@ class PatchMerging(nn.Module):
         x = x.reshape(B, D2, 2, H2, 2, W2, 2, C)
         x = x.transpose(0, 1, 3, 5, 2, 6, 4, 7)  # [B,D2,H2,W2, d,w,h, C]
         x = x.reshape(B, D2, H2, W2, 8 * C)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        x = FastLayerNorm(epsilon=1e-5, dtype=self.dtype,
+                          name="LayerNorm_0")(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
                         param_dtype=jnp.float32)(x)
 
@@ -316,6 +406,7 @@ class EncoderSwinBlock(nn.Module):
     qkv_bias: bool = True
     conv_merging: bool = False
     drop_path: Sequence[float] = ()
+    blocked_attn: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -326,7 +417,7 @@ class EncoderSwinBlock(nn.Module):
             x = SwinBlock(C, self.num_heads, tuple(self.window_size),
                           shift=(i % 2 == 1), mlp_ratio=self.mlp_ratio,
                           qkv_bias=self.qkv_bias, drop_path=float(rate),
-                          dtype=self.dtype,
+                          blocked_attn=self.blocked_attn, dtype=self.dtype,
                           name=f"block{i}")(x, deterministic=deterministic)
         merging = ConvPatchMerging if self.conv_merging else PatchMerging
         return merging(C, dtype=self.dtype, name="merge")(x)

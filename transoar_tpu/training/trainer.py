@@ -197,24 +197,40 @@ def make_train_step(model, criterion: Criterion, config, anchors, mesh=None):
         mb_dp = _mb_dp(mesh, B)
 
         if mb_grads and B > mb_dp:
-            # exact per-sample fwd+bwd accumulation (see mb_mode comment)
-            present_total = criterion.batch_normalizer(targets, anchors)
+            # exact per-sample fwd+bwd accumulation (see mb_mode comment).
+            # A criterion exposing ``scan_aux`` precomputes its per-sample
+            # target-derived rows (e.g. retina's [B, A] anchor assignment)
+            # ONCE here; the rows are threaded through the scan so neither
+            # batch_normalizer nor the per-sub-batch call repeats the work.
+            scan_aux_fn = getattr(criterion, "scan_aux", None)
+            aux = (scan_aux_fn(targets, anchors)
+                   if scan_aux_fn is not None else None)
+            if aux is not None:
+                present_total = criterion.batch_normalizer(
+                    targets, anchors, aux=aux)
+            else:
+                present_total = criterion.batch_normalizer(targets, anchors)
             local_b = B // mb_dp
 
             P = mesh_lib.P
             imgs = _regroup(batch["image"], mb_dp, mesh, P(None, "dp", "sp"))
             tbs = _regroup(targets["boxes"], mb_dp, mesh, P(None, "dp"))
             tps = _regroup(targets["present"], mb_dp, mesh, P(None, "dp"))
+            auxs = (jax.tree.map(
+                lambda v: _regroup(v, mb_dp, mesh, P(None, "dp")), aux)
+                if aux is not None else None)
 
             def per_subbatch(gacc, inp):
-                li, img, tb, tp = inp
+                li, img, tb, tp, ax = inp
 
                 def loss_fn_b(params):
                     rngs = {"dropout": jax.random.fold_in(step_rng, li)}
                     out = model.apply({"params": params}, img,
                                       deterministic=False, rngs=rngs)
+                    kw = {} if ax is None else {"aux": ax}
                     ls = criterion(out, {"boxes": tb, "present": tp},
-                                   anchors, present_total=present_total)
+                                   anchors, present_total=present_total,
+                                   **kw)
                     return total_loss(ls, coefs), ls
 
                 (_, ls), g = jax.value_and_grad(
@@ -223,7 +239,8 @@ def make_train_step(model, criterion: Criterion, config, anchors, mesh=None):
 
             grads0 = jax.tree.map(jnp.zeros_like, state.params)
             grads, ls_stack = jax.lax.scan(
-                per_subbatch, grads0, (jnp.arange(local_b), imgs, tbs, tps))
+                per_subbatch, grads0,
+                (jnp.arange(local_b), imgs, tbs, tps, auxs))
             # per-sample numerators over batch-global denominators SUM to
             # the batched loss values
             losses = jax.tree.map(lambda x: x.sum(0), ls_stack)
@@ -344,7 +361,15 @@ class Trainer:
         # per-device per-volume speed matches the batch-1 graph on any dp
         # mesh (make_train_step regroup).
         self._config = config
-        self._h2d_dtype = str(config["trainer"].get("h2d_dtype", "bfloat16"))
+        # h2d_dtype follows trainer.precision unless set explicitly: a
+        # float32-precision run must not get bf16-rounded inputs just
+        # because the transfer-compression default says so.
+        _default_h2d = ("float32"
+                        if str(config["trainer"].get(
+                            "precision", "bfloat16")) == "float32"
+                        else "bfloat16")
+        self._h2d_dtype = str(
+            config["trainer"].get("h2d_dtype", _default_h2d))
         self._rng = rng if rng is not None else jax.random.key(
             config.get("seed", 0))
 

@@ -51,8 +51,13 @@ def get_config(config_name, config_dir=None, dataset_dir=None):
     merged in — dataset statistics *are* config: anchors and attention masks
     are functions of them (transoarnet.py:26, focused_decoder.py:138-159).
     """
-    config_dir = Path(config_dir) if config_dir else PATH_TO_CONFIG
-    config = load_yaml(config_dir / f"{config_name}.yaml")
+    name = str(config_name)
+    if name.endswith((".yaml", ".yml")):
+        # explicit path (generated override files live outside ./config)
+        config = load_yaml(Path(name))
+    else:
+        config_dir = Path(config_dir) if config_dir else PATH_TO_CONFIG
+        config = load_yaml(config_dir / f"{name}.yaml")
 
     dataset = config.get("dataset")
     if dataset:
