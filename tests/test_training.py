@@ -191,8 +191,10 @@ def test_h2d_compression_step_equivalence():
 
 
 def test_trainer_compress_h2d_dtypes(tmp_path):
-    """Trainer._compress_h2d: image -> bf16 (default), seg -> int8; and the
-    float32 opt-out keeps the image untouched."""
+    """Trainer._compress_h2d: image -> bf16 when the run computes in bf16,
+    seg -> int8 always; a trainer.precision float32 run defaults to
+    float32 transfers (no silent bf16 rounding of full-precision inputs),
+    and explicit h2d_dtype overrides either way."""
     from transoar_tpu.data.dataset import get_loader
     from transoar_tpu.models.transoarnet import build_transoarnet
     from transoar_tpu.training.trainer import Trainer
@@ -208,14 +210,25 @@ def test_trainer_compress_h2d_dtypes(tmp_path):
     trainer._writer = None
     batch = next(iter(loader))
     comp = trainer._compress_h2d(batch)
-    assert comp["image"].dtype == jnp.bfloat16
+    # tiny_config runs precision=float32 -> transfers stay float32
+    assert cfg["trainer"]["precision"] == "float32"
+    assert comp["image"].dtype == np.float32
     assert comp["seg"].dtype == np.int8
 
-    cfg2 = {**cfg, "trainer": {**cfg["trainer"], "h2d_dtype": "float32"}}
+    # bf16-precision run: transfers default to bf16
+    cfg2 = {**cfg, "trainer": {**cfg["trainer"], "precision": "bfloat16"}}
     trainer2 = Trainer(cfg2, model, loader, loader,
                        tmp_path / "runs" / "hh2", state=trainer.state)
     trainer2._writer = None
-    comp2 = trainer2._compress_h2d(batch)
-    assert comp2["image"].dtype == np.float32
+    assert trainer2._compress_h2d(batch)["image"].dtype == jnp.bfloat16
+
+    # explicit h2d_dtype beats the precision-derived default
+    cfg3 = {**cfg, "trainer": {**cfg["trainer"],
+                               "precision": "bfloat16",
+                               "h2d_dtype": "float32"}}
+    trainer3 = Trainer(cfg3, model, loader, loader,
+                       tmp_path / "runs" / "hh3", state=trainer.state)
+    trainer3._writer = None
+    assert trainer3._compress_h2d(batch)["image"].dtype == np.float32
     means = trainer._train_one_epoch(1)
     assert np.isfinite(means["total"])

@@ -157,3 +157,120 @@ def test_validate_config_rejects_unknown_aug_keys():
                             "p_made_up_transform": 0.5}}
     with pytest.raises(ValueError, match="p_made_up_transform"):
         validate_config(cfg)
+
+
+# -- separable (gather-free) resample ---------------------------------------
+
+def _random_affine(rng, shape, rot_deg=5.0):
+    """An affine in the reference's augmentation ranges."""
+    from transoar_tpu.data.transforms import sample_affine_np
+
+    aug = _base_aug(p_rotate=1.0, p_zoom=1.0, p_translate=1.0, p_shear=1.0,
+                    rotation=[-rot_deg, rot_deg])
+    return sample_affine_np(np.random.default_rng(rng), shape, aug)
+
+
+def test_decompose_affine_roundtrip():
+    """T1 @ T2 @ T3 (matrices AND offsets) must recompose to (M, o)."""
+    from transoar_tpu.data.transforms import decompose_affine
+
+    m_np, o_np = _random_affine(3, (16, 16, 8), rot_deg=30.0)
+    rows = decompose_affine(jnp.asarray(m_np, jnp.float32),
+                            jnp.asarray(o_np, jnp.float32))
+    (a, b, c, t1), (d, e, f, t2), (g, h, i_, t3) = [
+        tuple(float(x) for x in r) for r in rows]
+    T1 = np.array([[a, b, c], [0, 1, 0], [0, 0, 1]])
+    T2 = np.array([[1, 0, 0], [d, e, f], [0, 0, 1]])
+    T3 = np.array([[1, 0, 0], [0, 1, 0], [g, h, i_]])
+    np.testing.assert_allclose(T1 @ T2 @ T3, m_np, atol=1e-5)
+    o1, o2, o3 = np.array([t1, 0, 0]), np.array([0, t2, 0]), \
+        np.array([0, 0, t3])
+    np.testing.assert_allclose(T1 @ T2 @ o3 + T1 @ o2 + o1, o_np, atol=1e-4)
+
+
+def test_separable_exact_for_axis_aligned():
+    """Diagonal affines (zoom + translate + flip): the trilinear gather
+    factorizes exactly into per-axis linear passes, so separable == gather
+    to float tolerance — image (order 1) and labels (order 0)."""
+    from transoar_tpu.data.transforms import (affine_resample,
+                                              affine_resample_separable)
+
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.normal(size=(12, 10, 8)).astype(np.float32))
+    lab = jnp.asarray(rng.integers(0, 5, size=(12, 10, 8)).astype(np.int32))
+    m = jnp.asarray(np.diag([1 / 1.07, -1.0, 1 / 0.93]), jnp.float32)
+    o = jnp.asarray([0.7, 10.2, -1.3], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(affine_resample_separable(vol, m, o, order=1)),
+        np.asarray(affine_resample(vol, m, o, order=1)),
+        rtol=1e-4, atol=1e-4)
+    sep = np.asarray(affine_resample_separable(lab, m, o, order=0))
+    ref = np.asarray(affine_resample(lab, m, o, order=0))
+    assert (sep != ref).mean() < 0.01  # rounding-tie voxels only
+
+
+def test_separable_matches_scipy_for_rotation():
+    """Reference-range rotation + zoom + shear + translation on a SMOOTH
+    volume: the cascaded per-axis kernel is slightly smoother than one
+    trilinear gather, so compare within interpolation-order tolerance;
+    labels may differ only on a small boundary fraction."""
+    from scipy import ndimage
+
+    from transoar_tpu.data.transforms import affine_resample_separable
+
+    rng = np.random.default_rng(1)
+    vol = ndimage.gaussian_filter(
+        rng.normal(size=(24, 20, 16)).astype(np.float32), 2.0)
+    lab = np.zeros((24, 20, 16), np.int32)
+    lab[6:18, 5:15, 4:12] = 3
+    lab[10:14, 8:12, 6:10] = 1
+    m_np, o_np = _random_affine(7, vol.shape)
+    m, o = jnp.asarray(m_np, jnp.float32), jnp.asarray(o_np, jnp.float32)
+
+    # interior only: at the <=1-voxel boundary shell scipy zeroes ANY
+    # point outside the volume while both our resamples follow the
+    # grid_sample convention (partial interpolation against zeros) — a
+    # pre-existing, deliberate difference of the gather path too.
+    interior = (slice(3, -3),) * 3
+    img_ref = ndimage.affine_transform(vol, m_np, o_np, order=1,
+                                       mode="constant", cval=0.0)
+    img_sep = np.asarray(affine_resample_separable(
+        jnp.asarray(vol), m, o, order=1))
+    err = np.abs(img_sep - img_ref)[interior]
+    assert err.max() < 0.05 * (vol.max() - vol.min()), err.max()
+    assert err.mean() < 5e-3 * (vol.max() - vol.min())
+
+    lab_ref = ndimage.affine_transform(lab, m_np, o_np, order=0,
+                                       mode="constant", cval=0)
+    # one-hot + linear passes + argmax: composite-exact positions (no
+    # per-pass rounding cascade); deviations only in the half-voxel band
+    # at region borders
+    from transoar_tpu.data.transforms import label_resample_separable
+
+    lab_sep = np.asarray(label_resample_separable(
+        jnp.asarray(lab), m, o, num_classes=3))
+    assert (lab_sep != lab_ref)[interior].mean() < 0.03  # region borders
+    # the raw cascaded-nearest fallback drifts a little more but stays
+    # border-local
+    lab_casc = np.asarray(affine_resample_separable(
+        jnp.asarray(lab), m, o, order=0))
+    assert (lab_casc != lab_ref)[interior].mean() < 0.08
+
+
+def test_augment_one_separable_default_matches_gather_when_aligned(rng):
+    """The jitted per-sample augmentation runs the separable path by
+    default; with only flips/translation/zoom drawn it must agree with the
+    gather path draw-for-draw."""
+    from transoar_tpu.data.transforms import augment_batch
+
+    images = jnp.asarray(rng.normal(size=(2, 8, 8, 4, 1)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 3, size=(2, 8, 8, 4))
+                         .astype(np.int32))
+    aug_sep = _base_aug(p_zoom=1.0, p_translate=1.0, p_flip=0.5)
+    aug_gat = dict(aug_sep, resample="gather")
+    key = jax.random.key(3)
+    img_s, lab_s = augment_batch(images, labels, key, aug_sep)
+    img_g, lab_g = augment_batch(images, labels, key, aug_gat)
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_g),
+                               rtol=1e-4, atol=1e-4)
+    assert (np.asarray(lab_s) != np.asarray(lab_g)).mean() < 0.01

@@ -180,7 +180,8 @@ def make_train_step(model, criterion: Criterion, config, anchors, mesh=None):
 
             aug_rng, step_rng = jax.random.split(step_rng)
             image, seg = augment_batch(image, seg, aug_rng, aug_cfg,
-                                       intensity_stats=stats)
+                                       intensity_stats=stats,
+                                       num_classes=num_classes)
         elif stats is not None:
             from transoar_tpu.data.transforms import eval_transform
 

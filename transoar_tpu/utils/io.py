@@ -98,7 +98,7 @@ def validate_config(config):
         "p_adjust_contrast", "adjust_contrast_gamma",
         "p_rotate", "rotation", "p_zoom", "min_zoom", "max_zoom",
         "p_shear", "shear_range", "p_translate", "translate_percentage",
-        "p_flip", "flip_axis",
+        "p_flip", "flip_axis", "resample",
     }
     unknown = set(config.get("augmentation", {})) - known_aug
     if unknown:
