@@ -45,6 +45,108 @@ def cross_process_tp_mesh(devices=None):
     return Mesh(arr, ("dp", "sp", "tp"))
 
 
+def cross_process_sp_mesh(devices=None):
+    """dp=2 x sp=2 mesh whose SP pairs each SPAN both processes: the
+    image's spatial shards (and the conv halo exchanges GSPMD inserts
+    between them) live on different processes — the one mesh axis the
+    round-4 cross-process tests did not cover."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devs = list(devices) if devices is not None else list(jax.devices())
+    assert len(devs) == 4, devs
+    by_proc = {}
+    for d in devs:
+        by_proc.setdefault(d.process_index, []).append(d)
+    if len(by_proc) == 2:
+        p0, p1 = (by_proc[k] for k in sorted(by_proc))
+        devs = [p0[0], p1[0], p0[1], p1[1]]
+    arr = np.array(devs, dtype=object).reshape(2, 2, 1)
+    return Mesh(arr, ("dp", "sp", "tp"))
+
+
+def run_full_trainer(args):
+    """End-to-end multi-process training: the REAL ``Trainer.run`` loop —
+    epochs, validation (+ best-checkpoint writes), model_last writes — on a
+    4-device dp mesh spanning two processes with row-sharded input
+    feeding, followed by a resume from the shared checkpoint for one more
+    epoch. Prints the final val mAP and parameter checksums for the test's
+    single-process oracle comparison."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.helpers import tiny_config
+    from transoar_tpu.data.dataset import get_loader
+    from transoar_tpu.parallel import mesh as mesh_lib
+    from transoar_tpu.models.transoarnet import build_transoarnet
+    from transoar_tpu.training import checkpoints as ckpt_lib
+    from transoar_tpu.training.train_state import create_train_state
+    from transoar_tpu.training.trainer import Trainer
+    from transoar_tpu.utils.io import load_json
+
+    work = Path(args.workdir)
+    ds_root = work / "dataset"
+    info = load_json(ds_root / "synthetic" / "data_info.json")
+    B = 4
+    cfg = tiny_config(num_organs=3, qpo=7, patch=(32, 32, 16))
+    cfg["dataset"] = "synthetic"
+    cfg["trainer"]["epochs"] = 2
+    cfg["trainer"]["batch_size"] = B
+    cfg["trainer"]["num_workers"] = 0
+    cfg["debug_mode"] = False
+    cfg.update({k: info[k] for k in (
+        "labels", "labels_small", "labels_mid", "labels_large",
+        "bbox_properties")})
+
+    mesh = (mesh_lib.make_mesh(dp=4, sp=1) if jax.process_count() > 1
+            else mesh_lib.make_mesh(dp=4, sp=1,
+                                    devices=jax.devices()[:4]))
+    rows = mesh_lib.local_batch_rows(mesh, B)
+    train_loader = get_loader(cfg, "train", data_dir=ds_root, rows=rows)
+    val_loader = get_loader(cfg, "val", data_dir=ds_root)
+    model = build_transoarnet(cfg)
+    example = jnp.zeros((B, 32, 32, 16, 1))
+    steps = max(len(train_loader), 1)
+    state = create_train_state(model, cfg, example, jax.random.key(0),
+                               steps_per_epoch=steps)
+    run_dir = work / "run"
+    trainer = Trainer(cfg, model, train_loader, val_loader, run_dir,
+                      mesh=mesh, state=state)
+    trainer._writer = None
+    trainer.run()
+
+    checksum_fn = jax.jit(
+        lambda p: sum(jnp.sum(jnp.abs(leaf)).astype(jnp.float32)
+                      for leaf in jax.tree.leaves(p)),
+        out_shardings=mesh_lib.replicated(mesh))
+    ck_train = float(checksum_fn(trainer.state.params))
+    trainer._config = {**trainer._config, "debug_mode": True}  # no re-save
+    _, scores = trainer._validate(cfg["trainer"]["epochs"])
+    best = sorted(Path(run_dir).glob("model_best*"))
+    assert (run_dir / "model_last").exists(), "model_last not written"
+    assert best, "no best checkpoint written"
+
+    # resume from the shared model_last for one more epoch
+    cfg3 = {**cfg, "trainer": {**cfg["trainer"], "epochs": 3}}
+    fresh = create_train_state(model, cfg3, example, jax.random.key(0),
+                               steps_per_epoch=steps)
+    restored, epoch, metric_best = ckpt_lib.restore_checkpoint(
+        run_dir / "model_last", fresh)
+    assert epoch == 2, epoch
+    trainer2 = Trainer(cfg3, model, train_loader, val_loader, run_dir,
+                       mesh=mesh, start_epoch=epoch,
+                       metric_start_val=metric_best, state=restored)
+    trainer2._writer = None
+    trainer2.run()
+    ck_resume = float(checksum_fn(trainer2.state.params))
+
+    print(f"RESULT process={args.process_id} map={scores['mAP_coco']!r} "
+          f"ck_train={ck_train!r} ck_resume={ck_resume!r}", flush=True)
+    if jax.process_count() > 1:
+        jax.distributed.shutdown()
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--process_id", type=int, required=True)
@@ -55,12 +157,19 @@ def main():
                              "(mesh.local_batch_rows) instead of the full "
                              "global batch — validates multi-host input "
                              "sharding end to end")
-    parser.add_argument("--mesh", choices=["dp", "tp"], default="dp",
+    parser.add_argument("--mesh", choices=["dp", "tp", "sp"], default="dp",
                         help="dp: 4-way data parallel; tp: dp=2 x tp=2 with "
                              "each TP SHARD GROUP SPANNING BOTH PROCESSES — "
                              "the tensor-parallel collectives (neck param "
                              "all_gathers, activation psums) must cross the "
-                             "process boundary")
+                             "process boundary; sp: dp=2 x sp=2 with the "
+                             "spatial halo exchanges crossing it")
+    parser.add_argument("--full_trainer", action="store_true",
+                        help="run the full Trainer loop (epochs, validation,"
+                             " checkpoints, resume) instead of one step")
+    parser.add_argument("--workdir", default=None,
+                        help="shared scratch dir for --full_trainer "
+                             "(dataset + run/checkpoints)")
     args = parser.parse_args()
 
     import jax
@@ -74,6 +183,11 @@ def main():
         process_id=args.process_id)
 
     assert jax.process_count() == args.num_processes
+    if args.full_trainer:
+        # 2-process x 2 local devices, or the 1-process x 4-device oracle
+        assert len(jax.devices()) == 4, jax.devices()
+        run_full_trainer(args)
+        return
     assert len(jax.local_devices()) == 2, jax.local_devices()
     assert len(jax.devices()) == 2 * args.num_processes
 
@@ -112,6 +226,18 @@ def main():
         step_fn = make_train_step(model, Criterion(cfg), cfg, model.anchors,
                                   mesh=mesh)
         step = jax.jit(step_fn, out_shardings=(state_sh, rep))
+    elif args.mesh == "sp":
+        mesh = cross_process_sp_mesh()
+        import numpy as _np
+
+        sp_procs = {d.process_index
+                    for d in _np.asarray(mesh.devices)[0, :, 0]}
+        assert sp_procs == {0, 1}, f"sp group does not span processes: " \
+                                   f"{sp_procs}"
+        rep = mesh_lib.replicated(mesh)
+        step_fn = make_train_step(model, Criterion(cfg), cfg, model.anchors,
+                                  mesh=mesh)
+        step = jax.jit(step_fn, out_shardings=(rep, rep))
     else:
         mesh = mesh_lib.make_mesh(dp=4, sp=1)  # spans BOTH processes
         rep = mesh_lib.replicated(mesh)

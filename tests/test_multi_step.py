@@ -86,3 +86,48 @@ def test_grad_accumulation():
     changed = any(not np.array_equal(np.asarray(a), np.asarray(b))
                   for a, b in zip(p1, p2))
     assert changed
+
+
+def test_multi_step_dispatch_composes_with_grads_scan_on_dp_mesh():
+    """steps_per_dispatch wraps make_train_step, which under
+    microbatch='grads' regroups per-DEVICE rows — the K-stacked outer scan
+    over the inner grads scan on a dp>1 mesh must match sequential
+    single-dispatch grads steps on the same mesh exactly (same losses and
+    post-K params)."""
+    from transoar_tpu.parallel import mesh as mesh_lib
+
+    cfg = tiny_config(num_organs=2, qpo=7, patch=(32, 32, 16))
+    cfg["neck"]["dropout"] = 0.0
+    cfg["trainer"]["microbatch"] = "grads"
+    model = build_transoarnet(cfg)
+    B, K = 4, 2
+    example = jnp.zeros((B, 32, 32, 16, 1))
+    images, seg = synthetic_batch(cfg, batch_size=B, seed=0)
+    batches = [{"image": jnp.asarray(images) + 0.01 * k,
+                "seg": jnp.asarray(seg)} for k in range(K)]
+    crit = Criterion(cfg)
+    rng = jax.random.key(7)
+
+    mesh = mesh_lib.make_mesh(dp=2, sp=1, devices=jax.devices()[:2])
+    rep = mesh_lib.replicated(mesh)
+
+    s1 = create_train_state(model, cfg, example, jax.random.key(0), 4)
+    step = jax.jit(make_train_step(model, crit, cfg, model.anchors,
+                                   mesh=mesh), out_shardings=(rep, rep))
+    seq = []
+    for b in batches:
+        s1, losses = step(s1, mesh_lib.shard_batch(b, mesh), rng)
+        seq.append(float(losses["total"]))
+
+    s2 = create_train_state(model, cfg, example, jax.random.key(0), 4)
+    multi = jax.jit(make_multi_train_step(model, crit, cfg, model.anchors,
+                                          mesh=mesh),
+                    out_shardings=(rep, rep))
+    stacked = {key: np.stack([np.asarray(b[key]) for b in batches])
+               for key in ("image", "seg")}
+    s2, m_losses = multi(s2, mesh_lib.shard_stacked_batch(stacked, mesh),
+                         rng)
+
+    np.testing.assert_allclose(np.asarray(m_losses["total"]), seq, rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

@@ -461,3 +461,139 @@ def test_loader_rows_subsets_global_batches():
     for f, p in zip(fb, pb):
         for key in ("image", "seg", "index"):
             np.testing.assert_array_equal(p[key], f[key][[1, 3]])
+
+
+def test_distributed_two_process_sp():
+    """REAL 2-process run on a dp=2 x sp=2 mesh whose SP PAIRS SPAN THE
+    PROCESS BOUNDARY (distributed_worker.cross_process_sp_mesh): the
+    image's spatial shards — and every conv-halo exchange GSPMD inserts
+    between them — live on different processes, the one axis the round-4
+    cross-process tests left uncovered. Both processes' loss + post-update
+    checksum must agree with each other and with the single-process oracle
+    on the same logical mesh layout."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        procs.append(subprocess.Popen(
+            [sys.executable, str(repo / "tests" / "distributed_worker.py"),
+             "--process_id", str(pid), "--port", str(port), "--mesh", "sp"],
+            cwd=str(repo), env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
+
+    results = {}
+    for out, _ in outs:
+        m = re.search(r"RESULT process=(\d+) total=([\d.e+-]+) "
+                      r"checksum=([\d.e+-]+)", out)
+        assert m, out
+        results[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+    assert set(results) == {0, 1}
+    assert results[0] == results[1], results
+
+    # single-process oracle: same logical dp=2 x sp=2 layout
+    from tests.distributed_worker import cross_process_sp_mesh
+    from transoar_tpu.models.criterion import Criterion
+    from transoar_tpu.training.trainer import make_train_step
+
+    batch = 4
+    cfg, model, state, _, batch_data = _build(batch)
+    mesh = cross_process_sp_mesh(jax.devices()[:4])
+    rep = mesh_lib.replicated(mesh)
+    step = jax.jit(
+        make_train_step(model, Criterion(cfg), cfg, model.anchors,
+                        mesh=mesh),
+        out_shardings=(rep, rep))
+    device_batch = mesh_lib.shard_batch(batch_data, mesh)
+    new_state, losses = step(state, device_batch, jax.random.key(1))
+    total = float(losses["total"])
+    checksum = float(sum(jnp.sum(jnp.abs(leaf)).astype(jnp.float32)
+                         for leaf in jax.tree.leaves(new_state.params)))
+    np.testing.assert_allclose(results[0][0], total, rtol=2e-4)
+    np.testing.assert_allclose(results[0][1], checksum, rtol=1e-5)
+
+
+def test_distributed_two_process_full_trainer(tmp_path):
+    """END-TO-END 2-process training: the full ``Trainer.run`` loop — 2
+    epochs with validation, best + last checkpoint writes onto the SHARED
+    filesystem (collective Orbax saves, process-0-only cleanup), then a
+    ``--resume``-style restore from model_last for one more epoch — on a
+    4-device dp mesh spanning both processes with row-sharded input
+    feeding. Final val mAP and the post-train/post-resume parameter
+    checksums must agree across processes AND with a single-process run
+    of the identical schedule."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from transoar_tpu.data.synthetic import generate_dataset
+
+    repo = Path(__file__).resolve().parents[1]
+    work = tmp_path / "work"
+    generate_dataset(work / "dataset", name="synthetic", shape=(32, 32, 16),
+                     num_classes=3, num_train=8, num_val=4, num_test=2,
+                     seed=0)
+
+    def launch(nproc, workdir):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs = []
+        for pid in range(nproc):
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=" + \
+                ("2" if nproc == 2 else "4")
+            procs.append(subprocess.Popen(
+                [sys.executable,
+                 str(repo / "tests" / "distributed_worker.py"),
+                 "--process_id", str(pid), "--port", str(port),
+                 "--num_processes", str(nproc), "--full_trainer",
+                 "--workdir", str(workdir)],
+                cwd=str(repo), env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True))
+        outs = [p.communicate(timeout=1200) for p in procs]
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        results = {}
+        for out, _ in outs:
+            m = re.search(
+                r"RESULT process=(\d+) map=([\d.e+-]+) "
+                r"ck_train=([\d.e+-]+) ck_resume=([\d.e+-]+)", out)
+            assert m, out
+            results[int(m.group(1))] = tuple(
+                float(m.group(k)) for k in (2, 3, 4))
+        return results
+
+    two = launch(2, work)
+    assert set(two) == {0, 1}
+    assert two[0] == two[1], two  # replicated results identical bitwise
+
+    # single-process oracle: same schedule on one process (4 local devices)
+    work1 = tmp_path / "work1"
+    (work1).mkdir()
+    os.symlink(work / "dataset", work1 / "dataset")
+    one = launch(1, work1)
+    m2, ckt2, ckr2 = two[0]
+    m1, ckt1, ckr1 = one[0]
+    np.testing.assert_allclose(m2, m1, atol=1e-6)
+    np.testing.assert_allclose(ckt2, ckt1, rtol=1e-5)
+    np.testing.assert_allclose(ckr2, ckr1, rtol=1e-5)

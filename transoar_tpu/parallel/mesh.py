@@ -73,6 +73,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def place_state(tree, shardings):
+    """Place a process-local state pytree onto a (possibly multi-process)
+    mesh.
+
+    Single-process: plain ``device_put``. Multi-process: ``device_put``
+    from a one-device-committed array onto a global sharding would need a
+    cross-host transfer (unsupported on CPU and on DCN-less TPU rigs);
+    instead each process materializes its OWN addressable shards from its
+    local host copy via ``make_array_from_callback`` — valid because every
+    process holds identical values (same seeded init, or the same restored
+    checkpoint).
+
+    ``shardings``: one NamedSharding for the whole tree, or a matching
+    pytree of NamedShardings (the tp/fsdp state-sharding trees).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+    one = isinstance(shardings, NamedSharding)
+
+    def place(x, sh):
+        xh = np.asarray(jax.device_get(x))
+        return jax.make_array_from_callback(
+            xh.shape, sh, lambda idx: xh[idx])
+
+    if one:
+        return jax.tree.map(lambda x: place(x, shardings), tree)
+    return jax.tree.map(place, tree, shardings)
+
+
 def local_batch_rows(mesh: Mesh, batch_size: int):
     """Global batch rows THIS process must load, or ``None`` single-process.
 

@@ -33,17 +33,26 @@ def _checkpointer():
 
 
 def save_checkpoint(path_to_run, name, state, epoch, metric_max_val):
-    """Write one checkpoint directory ``<run>/<name>``."""
+    """Write one checkpoint directory ``<run>/<name>``.
+
+    Multi-process safe: the filesystem cleanup (single-best policy,
+    stale-target removal) runs on process 0 only, with a global barrier
+    before the collective Orbax save — every process reaches ``save`` with
+    the shared directory already in its final pre-save state."""
     path_to_run = Path(path_to_run).resolve()
     path_to_run.mkdir(parents=True, exist_ok=True)
 
-    if "best" in name:  # keep a single best (reference trainer.py:231-233)
-        for prev in path_to_run.glob("model_best*"):
-            shutil.rmtree(prev, ignore_errors=True)
-
     target = path_to_run / name
-    if target.exists():
-        shutil.rmtree(target, ignore_errors=True)
+    if jax.process_index() == 0:
+        if "best" in name:  # single best (reference trainer.py:231-233)
+            for prev in path_to_run.glob("model_best*"):
+                shutil.rmtree(prev, ignore_errors=True)
+        if target.exists():
+            shutil.rmtree(target, ignore_errors=True)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"transoar-ckpt-clean-{name}")
 
     payload = {
         "params": state.params,

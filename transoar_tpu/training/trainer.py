@@ -428,7 +428,10 @@ class Trainer:
         # device; jit refuses to mix that with mesh-sharded batch inputs.
         # Place the state onto the run mesh explicitly (replicated, or the
         # tp-sharded tree) — a no-op for a fresh state on a 1-device mesh.
-        self.state = jax.device_put(state, state_sh)
+        # In multi-process runs each process materializes its own shards
+        # from its local copy (mesh.place_state) — a plain device_put
+        # would need an unsupported cross-host transfer.
+        self.state = mesh_lib.place_state(state, state_sh)
 
     # -- data placement ----------------------------------------------------
     def _compress_h2d(self, batch):
