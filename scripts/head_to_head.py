@@ -63,12 +63,23 @@ def load_cfg(args):
     if args.epochs:  # smoke runs: fewer epochs, separate run directories
         cfg["trainer"]["epochs"] = args.epochs
         cfg["experiment_name"] += "_smoke"
+    if getattr(args, "seed", None) is not None:
+        # multi-seed repeats (VERDICT r4 #3): the seed drives torch/jax
+        # inits, shuffle order and every augmentation draw; separate run
+        # dirs + per-seed summaries so seeds never collide
+        cfg["seed"] = int(args.seed)
+        cfg["experiment_name"] += f"_s{args.seed}"
     return cfg
 
 
 def torch_run_dir(cfg):
-    return REPO / "runs" / ("h2h_torch" + ("_smoke" if
-                            cfg["experiment_name"].endswith("_smoke") else ""))
+    name = cfg["experiment_name"]
+    suffix = "".join(t for t in ("_smoke", ) if t in name)
+    for part in name.split("_"):
+        if part.startswith("s") and part[1:].isdigit():
+            suffix += f"_{part}"
+    base = "h2h_torch" + ("_large" if "large" in name else "")
+    return REPO / "runs" / (base + suffix)
 
 
 def build_reference_trainable(cfg):
@@ -204,11 +215,18 @@ def torch_eval_split(ref, cfg, split, out_path):
 # --------------------------------------------------------------------------
 
 def side_data(args):
+    """Generate the on-disk dataset the config points at (shape/classes
+    derived from the config; case counts from --cases)."""
     from transoar_tpu.data.synthetic import generate_dataset
+    from transoar_tpu.utils.io import get_config
 
-    path = generate_dataset(REPO / "dataset", name=DATASET,
-                            shape=(64, 64, 32), num_classes=6,
-                            num_train=24, num_val=8, num_test=8, seed=0)
+    cfg = get_config(args.config)
+    tr, va, te = args.cases
+    path = generate_dataset(
+        REPO / "dataset", name=cfg.get("dataset", DATASET),
+        shape=tuple(cfg["augmentation"]["patch_size"]),
+        num_classes=cfg["neck"]["num_organs"],
+        num_train=tr, num_val=va, num_test=te, seed=0)
     print(f"dataset at {path}")
 
 
@@ -308,18 +326,21 @@ def side_jax(args):
     cfg = load_cfg(args)
     jax_run = REPO / "runs" / cfg["experiment_name"]
     config_name = args.config
-    if args.epochs:  # materialize the smoke override for scripts/train.py
+    if args.epochs or getattr(args, "seed", None) is not None:
+        # materialize the override (epochs/seed/run name) for train.py
         import yaml
 
         from transoar_tpu.utils.io import load_yaml
 
         raw = load_yaml(REPO / "config" / f"{args.config}.yaml")
-        raw["trainer"]["epochs"] = args.epochs
+        if args.epochs:
+            raw["trainer"]["epochs"] = args.epochs
+        raw["seed"] = cfg["seed"]
         raw["experiment_name"] = cfg["experiment_name"]
         # write the generated override OUTSIDE the tracked config dir
         # (train.py / get_config accept explicit .yaml paths)
         jax_run.mkdir(parents=True, exist_ok=True)
-        override = jax_run / "_h2h_smoke.yaml"
+        override = jax_run / "_h2h_override.yaml"
         override.write_text(yaml.safe_dump(raw))
         config_name = str(override)
 
@@ -358,8 +379,9 @@ def side_report(args):
     torch_run = torch_run_dir(cfg)
     jax_run = REPO / "runs" / cfg["experiment_name"]
     out = {"config": args.config,
+           "seed": cfg["seed"],
            "epochs": cfg["trainer"]["epochs"],
-           "dataset": DATASET}
+           "dataset": cfg.get("dataset", DATASET)}
 
     tm = json.loads((torch_run / "metrics.json").read_text())
     out["torch_wall_s"] = tm["wall_s"]
@@ -387,7 +409,15 @@ def side_report(args):
         out["jax_val_mAP_coco_error"] = str(exc)
 
     OUT_DIR.mkdir(parents=True, exist_ok=True)
-    (OUT_DIR / "summary.json").write_text(json.dumps(out, indent=2))
+    # seed/config-qualified summary; the default run keeps the historic
+    # plain name so older tooling still finds it
+    suffix = ""
+    if args.config != CONFIG_NAME:
+        suffix += f"_{args.config.replace('synthetic_h2h', '').strip('_')}"
+    if getattr(args, "seed", None) is not None:
+        suffix += f"_s{args.seed}"
+    summary_path = OUT_DIR / f"summary{suffix}.json"
+    summary_path.write_text(json.dumps(out, indent=2))
 
     def fmt(side):
         rows = []
@@ -401,21 +431,71 @@ def side_report(args):
 
     print(f"== torch reference ==\n{fmt('torch')}")
     print(f"== rebuild ==\n{fmt('jax')}")
-    print(f"summary -> {OUT_DIR / 'summary.json'}")
+    print(f"summary -> {summary_path}")
+
+
+def side_aggregate(args):
+    """Mean +- spread across every per-seed summary of ``--config``
+    (VERDICT r4 #3: the parity claim needs error bars). Writes
+    ``runs/head_to_head/aggregate[_<config>].json`` and prints the table."""
+    import glob
+
+    cfg_tag = ("" if args.config == CONFIG_NAME
+               else f"_{args.config.replace('synthetic_h2h', '').strip('_')}")
+    paths = sorted(glob.glob(str(OUT_DIR / f"summary{cfg_tag}*.json")))
+    paths = [p for p in paths if "aggregate" not in p]
+    summaries = [json.loads(Path(p).read_text()) for p in paths]
+    summaries = [s for s in summaries if s.get("config") == args.config]
+    assert summaries, f"no summaries for {args.config} in {OUT_DIR}"
+
+    keys = ("mAP_coco", "mAP_nndet", "AP_IoU_0.50")
+    agg = {"config": args.config, "seeds": [s.get("seed") for s in summaries],
+           "n": len(summaries)}
+    rows = []
+    for side in ("torch", "jax"):
+        for split in ("val", "test"):
+            vals = {k: [s[f"{side}_{split}"][k] for s in summaries
+                        if f"{side}_{split}" in s] for k in keys}
+            if not any(vals.values()):
+                continue
+            entry = {}
+            for k, v in vals.items():
+                v = np.asarray(v, np.float64)
+                entry[k] = {"mean": float(v.mean()),
+                            "std": float(v.std(ddof=1)) if len(v) > 1
+                            else 0.0,
+                            "min": float(v.min()), "max": float(v.max()),
+                            "values": v.tolist()}
+            agg[f"{side}_{split}"] = entry
+            rows.append(
+                f"{side:5s} {split:4s}  " + "  ".join(
+                    f"{k}={entry[k]['mean']:.4f}+-{entry[k]['std']:.4f}"
+                    for k in keys if k in entry))
+    out_path = OUT_DIR / f"aggregate{cfg_tag or ''}.json"
+    out_path.write_text(json.dumps(agg, indent=2))
+    print(f"{len(summaries)} seeds: {agg['seeds']}")
+    print("\n".join(rows))
+    print(f"aggregate -> {out_path}")
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--side", required=True,
-                        choices=["data", "torch", "jax", "report"])
+                        choices=["data", "torch", "jax", "report",
+                                 "aggregate"])
     parser.add_argument("--config", default=CONFIG_NAME)
     parser.add_argument("--epochs", type=int, default=None,
                         help="override trainer.epochs (smoke runs)")
+    parser.add_argument("--seed", type=int, default=None,
+                        help="override config seed (multi-seed repeats); "
+                             "runs and summaries get an _s<seed> suffix")
+    parser.add_argument("--cases", type=int, nargs=3, default=(24, 8, 8),
+                        help="train/val/test case counts for --side data")
     parser.add_argument("--cpu", action="store_true",
                         help="force the jax side onto CPU")
     args = parser.parse_args()
     {"data": side_data, "torch": side_torch, "jax": side_jax,
-     "report": side_report}[args.side](args)
+     "report": side_report, "aggregate": side_aggregate}[args.side](args)
 
 
 if __name__ == "__main__":

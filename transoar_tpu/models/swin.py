@@ -183,16 +183,27 @@ class WindowAttention3D(nn.Module):
         v = qkv[..., 2, :, :]  # [B, p, q, r, N, H, hd]
 
         attn = jnp.einsum("bpqrnhd,bpqrmhd->bpqrhnm", q, k)
-        attn = attn.astype(jnp.float32) + self._bias(N)[
+        logits = attn.astype(jnp.float32) + self._bias(N)[
             None, None, None, None]
         if regions is not None:
             reg = jnp.asarray(np.ascontiguousarray(
                 regions.reshape(p, q_, r, N)))
-            attn = attn + jnp.where(
+            logits = logits + jnp.where(
                 reg[..., :, None] != reg[..., None, :], -100.0, 0.0
             )[None, :, :, :, None]
-        attn = nn.softmax(attn, axis=-1).astype(self.dtype)
+        # bandwidth-lean softmax: the score tensor is the big object here
+        # (f32 [nW, H, N, N] is 1.25 GB at VISCERAL stage 2, and the chain
+        # around it measured ~87 ms/step); materialize the exp in compute
+        # dtype and fold the 1/sum into the (tiny) AV output instead of a
+        # full normalized-score pass. Same math as softmax(logits) @ v —
+        # logits are bf16-rounded either way (the QK einsum emits bf16).
+        m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+        p_exp = jnp.exp(logits - m)
+        denom = jnp.sum(p_exp, axis=-1)             # [., p, q, r, H, N] f32
+        attn = p_exp.astype(self.dtype)
         out = jnp.einsum("bpqrhnm,bpqrmhd->bpqrnhd", attn, v)
+        out = out / jnp.swapaxes(denom, -1, -2)[..., None].astype(
+            self.dtype)
         out = out.reshape(B, p, q_, r, wd, wh, ww, C)
         out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
                        name="proj")(out)
