@@ -69,6 +69,13 @@ def load_cfg(args):
         # dirs + per-seed summaries so seeds never collide
         cfg["seed"] = int(args.seed)
         cfg["experiment_name"] += f"_s{args.seed}"
+    if getattr(args, "precision", None):
+        # precision ablation for the rebuild side only (the torch side is
+        # always CPU f32): isolates how much of any accuracy gap is bf16
+        # training compute vs a genuine numerics difference
+        cfg["trainer"]["precision"] = args.precision
+        if args.precision != "bfloat16":
+            cfg["experiment_name"] += "_f32"
     return cfg
 
 
@@ -326,7 +333,8 @@ def side_jax(args):
     cfg = load_cfg(args)
     jax_run = REPO / "runs" / cfg["experiment_name"]
     config_name = args.config
-    if args.epochs or getattr(args, "seed", None) is not None:
+    if args.epochs or getattr(args, "seed", None) is not None \
+            or getattr(args, "precision", None):
         # materialize the override (epochs/seed/run name) for train.py
         import yaml
 
@@ -337,6 +345,7 @@ def side_jax(args):
             raw["trainer"]["epochs"] = args.epochs
         raw["seed"] = cfg["seed"]
         raw["experiment_name"] = cfg["experiment_name"]
+        raw["trainer"]["precision"] = cfg["trainer"]["precision"]
         # write the generated override OUTSIDE the tracked config dir
         # (train.py / get_config accept explicit .yaml paths)
         jax_run.mkdir(parents=True, exist_ok=True)
@@ -416,6 +425,8 @@ def side_report(args):
         suffix += f"_{args.config.replace('synthetic_h2h', '').strip('_')}"
     if getattr(args, "seed", None) is not None:
         suffix += f"_s{args.seed}"
+    if getattr(args, "precision", None) not in (None, "bfloat16"):
+        suffix += "_f32"
     summary_path = OUT_DIR / f"summary{suffix}.json"
     summary_path.write_text(json.dumps(out, indent=2))
 
@@ -444,6 +455,8 @@ def side_aggregate(args):
                else f"_{args.config.replace('synthetic_h2h', '').strip('_')}")
     paths = sorted(glob.glob(str(OUT_DIR / f"summary{cfg_tag}*.json")))
     paths = [p for p in paths if "aggregate" not in p]
+    want_f32 = getattr(args, "precision", None) not in (None, "bfloat16")
+    paths = [p for p in paths if ("_f32" in p) == want_f32]
     summaries = [json.loads(Path(p).read_text()) for p in paths]
     summaries = [s for s in summaries if s.get("config") == args.config]
     assert summaries, f"no summaries for {args.config} in {OUT_DIR}"
@@ -493,6 +506,10 @@ def main():
                         help="train/val/test case counts for --side data")
     parser.add_argument("--cpu", action="store_true",
                         help="force the jax side onto CPU")
+    parser.add_argument("--precision", default=None,
+                        choices=["bfloat16", "float32"],
+                        help="rebuild-side trainer.precision override "
+                             "(f32 ablation vs the always-f32 torch side)")
     args = parser.parse_args()
     {"data": side_data, "torch": side_torch, "jax": side_jax,
      "report": side_report, "aggregate": side_aggregate}[args.side](args)
