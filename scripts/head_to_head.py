@@ -76,6 +76,11 @@ def load_cfg(args):
         cfg["trainer"]["precision"] = args.precision
         if args.precision != "bfloat16":
             cfg["experiment_name"] += "_f32"
+    if getattr(args, "aux_on_final", False):
+        # reference-faithful aux-loss mode (criterion.py:115-124 computes
+        # every aux loss on the FINAL outputs): ablation for the AP50 gap
+        cfg["neck"]["aux_loss_on_final"] = True
+        cfg["experiment_name"] += "_auxfinal"
     return cfg
 
 
@@ -346,6 +351,8 @@ def side_jax(args):
         raw["seed"] = cfg["seed"]
         raw["experiment_name"] = cfg["experiment_name"]
         raw["trainer"]["precision"] = cfg["trainer"]["precision"]
+        if cfg["neck"].get("aux_loss_on_final"):
+            raw["neck"]["aux_loss_on_final"] = True
         # write the generated override OUTSIDE the tracked config dir
         # (train.py / get_config accept explicit .yaml paths)
         jax_run.mkdir(parents=True, exist_ok=True)
@@ -427,6 +434,8 @@ def side_report(args):
         suffix += f"_s{args.seed}"
     if getattr(args, "precision", None) not in (None, "bfloat16"):
         suffix += "_f32"
+    if getattr(args, "aux_on_final", False):
+        suffix += "_auxfinal"
     summary_path = OUT_DIR / f"summary{suffix}.json"
     summary_path.write_text(json.dumps(out, indent=2))
 
@@ -457,6 +466,8 @@ def side_aggregate(args):
     paths = [p for p in paths if "aggregate" not in p]
     want_f32 = getattr(args, "precision", None) not in (None, "bfloat16")
     paths = [p for p in paths if ("_f32" in p) == want_f32]
+    want_af = bool(getattr(args, "aux_on_final", False))
+    paths = [p for p in paths if ("_auxfinal" in p) == want_af]
     summaries = [json.loads(Path(p).read_text()) for p in paths]
     summaries = [s for s in summaries if s.get("config") == args.config]
     assert summaries, f"no summaries for {args.config} in {OUT_DIR}"
@@ -506,6 +517,9 @@ def main():
                         help="train/val/test case counts for --side data")
     parser.add_argument("--cpu", action="store_true",
                         help="force the jax side onto CPU")
+    parser.add_argument("--aux_on_final", action="store_true",
+                        help="rebuild-side reference-faithful aux losses "
+                             "(neck.aux_loss_on_final)")
     parser.add_argument("--precision", default=None,
                         choices=["bfloat16", "float32"],
                         help="rebuild-side trainer.precision override "

@@ -359,6 +359,22 @@ def test_full_model_criterion_parity():
                                    float(ref_losses[f"giou_{i}"]),
                                    rtol=1e-4, atol=1e-5)
 
+    # the shipped reference-faithful mode (neck.aux_loss_on_final) must
+    # reproduce the same values end to end through Criterion itself
+    import copy
+
+    cfg_bug = copy.deepcopy(cfg)
+    cfg_bug["neck"]["aux_loss_on_final"] = True
+    bug_losses = Criterion(cfg_bug)(
+        ours, {"boxes": jnp.asarray(boxes), "present": jnp.asarray(present)},
+        anchors)
+    for i in range(len(ref_out["aux_outputs"])):
+        for key in ("cls", "bbox", "giou"):
+            np.testing.assert_allclose(
+                float(bug_losses[f"{key}_{i}"]),
+                float(ref_losses[f"{key}_{i}"]), rtol=1e-4, atol=1e-5,
+                err_msg=f"aux_loss_on_final {key}_{i}")
+
 
 def test_full_model_seg_proxy_parity():
     _, TransoarCriterion, Matcher = _import_reference()

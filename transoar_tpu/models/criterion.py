@@ -123,6 +123,14 @@ class Criterion:
         self.seg_proxy = bool(config["backbone"].get("use_seg_proxy_loss"))
         self.fg_bg = bool(config["backbone"].get("fg_bg", True))
         self.aux_loss = bool(config["neck"].get("aux_loss"))
+        # reference-faithful aux mode (criterion.py:115-124): each aux
+        # layer's MATCHES come from the aux outputs, but bbox/giou/cls are
+        # all computed on the FINAL outputs — the final layer gets
+        # (1 + num_aux)x gradient signal and intermediate layers get no
+        # direct loss. The default (False) is the conscious fix (each aux
+        # layer supervised on its own boxes); measured effect of the
+        # reference mode: see PARITY.md (multi-seed head-to-head, AP50).
+        self.aux_on_final = bool(config["neck"].get("aux_loss_on_final"))
 
     @property
     def grads_scan_exact(self):
@@ -195,11 +203,16 @@ class Criterion:
                 a_boxes = outputs["aux_boxes"][i]
                 m_i, s_i = self._match(a_logits, a_boxes, anchors,
                                        tgt_boxes, tgt_present)
-                lb, lg = loss_bboxes(a_boxes, m_i, tgt_boxes, tgt_present,
+                if self.aux_on_final:  # reference criterion.py:115-124
+                    l_logits, l_boxes = (outputs["pred_logits"],
+                                         outputs["pred_boxes"])
+                else:
+                    l_logits, l_boxes = a_logits, a_boxes
+                lb, lg = loss_bboxes(l_boxes, m_i, tgt_boxes, tgt_present,
                                      self.num_organs, num_boxes=num_boxes)
                 losses[f"bbox_{i}"] = lb
                 losses[f"giou_{i}"] = lg
-                losses[f"cls_{i}"] = loss_class(a_logits, s_i,
+                losses[f"cls_{i}"] = loss_class(l_logits, s_i,
                                                 self.num_organs,
                                                 count=cls_count)
 
