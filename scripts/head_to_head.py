@@ -470,6 +470,15 @@ def side_aggregate(args):
     paths = [p for p in paths if ("_auxfinal" in p) == want_af]
     summaries = [json.loads(Path(p).read_text()) for p in paths]
     summaries = [s for s in summaries if s.get("config") == args.config]
+    # dedupe by seed: the historic unsuffixed summary.json is the same
+    # seed-10 run as summary_s10.json — one sample per seed (later glob
+    # entries, i.e. the seed-suffixed regenerated files, win)
+    by_seed = {}
+    for s in summaries:
+        # pre-round-5 summaries carry no seed key; they are the config's
+        # default seed
+        by_seed[s.get("seed") or 10] = s
+    summaries = list(by_seed.values())
     assert summaries, f"no summaries for {args.config} in {OUT_DIR}"
 
     keys = ("mAP_coco", "mAP_nndet", "AP_IoU_0.50")
