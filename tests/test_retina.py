@@ -133,6 +133,29 @@ def test_retinanet_forward_and_losses():
     assert len(classes[0]) == len(scores[0]) == len(boxes[0])
 
 
+def test_retina_tower_conv_variants_equal():
+    """`retina.tower_conv: native` must compute the identical model (the
+    decomposed and native conv paths are the same convolution; the knob
+    only changes how it lowers — measured per-config, PERFORMANCE.md)."""
+    cfg = _retina_cfg()
+    model = build_retinanet(cfg)
+    x = jax.random.normal(jax.random.key(1), (1, 32, 32, 16, 1))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+
+    cfg_native = _retina_cfg()
+    cfg_native["retina"]["tower_conv"] = "native"
+    model_native = build_retinanet(cfg_native)
+    out_native = model_native.apply(params, x)
+
+    np.testing.assert_allclose(out["anchor_logits"],
+                               out_native["anchor_logits"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out["anchor_deltas"],
+                               out_native["anchor_deltas"],
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_retina_grad_accum_matches_batched():
     """microbatch='grads' for RetinaCriterion: the focal/L1/GIoU numerators
     are per-sample and the single batch-coupled denominator (num_pos) is a

@@ -96,20 +96,23 @@ class ConvTower(nn.Module):
     out_features: int
     bias_init_value: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
+    # conv3d variant for the tower convs ("" = the auto policy). The
+    # narrow-stem measurements behind the auto policy ("native 3-5x
+    # slower") don't transfer to C=128 towers where channels fill the MXU
+    # lanes; `retina.tower_conv` exposes the choice per config.
+    conv_variant: str = ""
 
     @nn.compact
     def __call__(self, x):
-        # FastConv3D, not nn.Conv: the towers run over the largest FPN
-        # levels, where XLA's native 3D conv path is 3-5x slower on TPU
-        # (project invariant, see transoar_tpu/ops/conv3d.py).
         for i in range(self.depth):
             x = FastConv3D(self.features, (3, 3, 3), dtype=self.dtype,
+                           force_variant=self.conv_variant,
                            name=f"conv{i}")(x)
             x = nn.relu(x)
         return FastConv3D(
             self.out_features, (3, 3, 3), dtype=self.dtype,
             bias_init=nn.initializers.constant(self.bias_init_value),
-            name="out")(x)
+            force_variant=self.conv_variant, name="out")(x)
 
 
 class RetinaNet(nn.Module):
@@ -129,15 +132,17 @@ class RetinaNet(nn.Module):
                                name="backbone")(x,
                                                 deterministic=deterministic)
 
+        tower_conv = rcfg.get("tower_conv", "")
         cls_tower = ConvTower(
             rcfg.get("tower_depth", 4), rcfg.get("tower_channels", 128),
             K * num_classes,
             # focal-loss prior: P(fg) ~ 0.01 at init
             bias_init_value=float(-np.log((1 - 0.01) / 0.01)),
-            dtype=self.dtype, name="cls_tower")
+            dtype=self.dtype, conv_variant=tower_conv, name="cls_tower")
         reg_tower = ConvTower(
             rcfg.get("tower_depth", 4), rcfg.get("tower_channels", 128),
-            K * 6, dtype=self.dtype, name="reg_tower")
+            K * 6, dtype=self.dtype, conv_variant=tower_conv,
+            name="reg_tower")
 
         logits, deltas = [], []
         B = x.shape[0]

@@ -483,6 +483,10 @@ class FastConv3D(nn.Module):
     bias_init: object = nn.initializers.zeros
     pair_mode: str = "none"
     packed_chain: int = 0  # pack factor; input/output depth-packed lanes
+    # per-layer variant override ("" = TRANSOAR_CONV3D env / auto policy):
+    # lets wide-channel call sites (e.g. retina's C=128 towers) pick
+    # "native" where the decomposition policy was tuned on narrow stems
+    force_variant: str = ""
 
     @nn.compact
     def __call__(self, x):
@@ -535,7 +539,8 @@ class FastConv3D(nn.Module):
             import os
 
             strides = tuple(self.strides)
-            variant = os.environ.get("TRANSOAR_CONV3D", "auto")
+            variant = self.force_variant or os.environ.get(
+                "TRANSOAR_CONV3D", "auto")
             if variant == "auto":
                 # measured policy (PERFORMANCE.md §Per-layer conv variants):
                 # depth-stride-2 -> parity decomposition (no strided depth
