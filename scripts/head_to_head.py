@@ -504,7 +504,9 @@ def side_aggregate(args):
                 f"{side:5s} {split:4s}  " + "  ".join(
                     f"{k}={entry[k]['mean']:.4f}+-{entry[k]['std']:.4f}"
                     for k in keys if k in entry))
-    out_path = OUT_DIR / f"aggregate{cfg_tag or ''}.json"
+    variant_tag = ("_auxfinal" if want_af else "") + ("_f32" if want_f32
+                                                      else "")
+    out_path = OUT_DIR / f"aggregate{cfg_tag or ''}{variant_tag}.json"
     out_path.write_text(json.dumps(agg, indent=2))
     print(f"{len(summaries)} seeds: {agg['seeds']}")
     print("\n".join(rows))

@@ -33,25 +33,33 @@ sys.path.insert(0, str(REPO))
 # Candidate option sets: public TPU XLA knobs plausibly coupled to layout
 # assignment / fusion sizing at conv boundaries. Each entry is tried
 # independently against the baseline (empty options).
+# Ordered most-promising-first so a wall-clock timeout truncates the tail,
+# not the head (per-candidate results print as they land).
 CANDIDATES = [
     ("baseline", {}),
+    # read-write-back fusion (elementwise consumers fused into producers'
+    # output loops — exactly the conv->IN/ReLU boundary)
+    ("rwb_off", {"xla_tpu_rwb_fusion": "false"}),
     # scoped-vmem budget bounds fusion size; larger budgets let the fusion
     # emitter keep conv prologue/epilogue (pad/slice/convert) in one kernel
     ("vmem_64m", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
+    # latency-hiding scheduler reorders to overlap copies with compute
+    ("lhs_on", {"xla_tpu_enable_latency_hiding_scheduler": "true"}),
+]
+
+# Lower-priority candidates, run only with --only (each costs a full-size
+# service-side compile; the head of the list answers the conv-boundary
+# question, these probe secondary knobs):
+EXTRA_CANDIDATES = [
     ("vmem_96m", {"xla_tpu_scoped_vmem_limit_kib": "98304"}),
     ("vmem_16m", {"xla_tpu_scoped_vmem_limit_kib": "16384"}),
     # dot strength reduction rewrites thin dots into reductions — off keeps
     # them on the MXU
     ("no_dot_strength_red",
      {"xla_tpu_enable_dot_strength_reduction": "false"}),
-    # latency-hiding scheduler reorders to overlap copies with compute
-    ("lhs_on", {"xla_tpu_enable_latency_hiding_scheduler": "true"}),
     # aggressive loop fusion variants
     ("no_nested_loop_fusion",
      {"xla_tpu_enable_multi_level_nested_loop_fusion": "false"}),
-    # read-write-back fusion (elementwise consumers fused into producers'
-    # output loops — exactly the conv->IN/ReLU boundary)
-    ("rwb_off", {"xla_tpu_rwb_fusion": "false"}),
 ]
 
 
@@ -94,7 +102,8 @@ def main():
     del state0
     results = {}
     names = args.only.split(",") if args.only else None
-    for name, opts in CANDIDATES:
+    pool = CANDIDATES + (EXTRA_CANDIDATES if names else [])
+    for name, opts in pool:
         if names and name not in names:
             continue
         print(f"--- {name}: {opts}", flush=True)
