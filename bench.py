@@ -90,10 +90,13 @@ def build_benchmark(batch_size, patch, scan_steps=8, microbatch=None,
     state = create_train_state(model, config, example, jax.random.key(0),
                                steps_per_epoch=100)
 
+    # same per-compile XLA overrides the Trainer honors (trainer.xla_options;
+    # measured matrix in PERFORMANCE.md §XLA option sweep)
+    xla_opts = dict(config["trainer"].get("xla_options") or {}) or None
     train_step = jax.jit(
         make_multi_train_step(model, build_criterion(config), config,
                               model.anchors),
-        donate_argnums=(0,))
+        donate_argnums=(0,), compiler_options=xla_opts)
 
     rng = np.random.default_rng(0)
     image = jnp.asarray(

@@ -39,12 +39,12 @@ CANDIDATES = [
     ("baseline", {}),
     # read-write-back fusion (elementwise consumers fused into producers'
     # output loops — exactly the conv->IN/ReLU boundary)
-    ("rwb_off", {"xla_tpu_rwb_fusion": "false"}),
+    ("rwb_off", {"xla_tpu_rwb_fusion": "False"}),
     # scoped-vmem budget bounds fusion size; larger budgets let the fusion
     # emitter keep conv prologue/epilogue (pad/slice/convert) in one kernel
     ("vmem_64m", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
     # latency-hiding scheduler reorders to overlap copies with compute
-    ("lhs_on", {"xla_tpu_enable_latency_hiding_scheduler": "true"}),
+    ("lhs_on", {"xla_tpu_enable_latency_hiding_scheduler": "True"}),
 ]
 
 # Lower-priority candidates, run only with --only (each costs a full-size
@@ -56,10 +56,10 @@ EXTRA_CANDIDATES = [
     # dot strength reduction rewrites thin dots into reductions — off keeps
     # them on the MXU
     ("no_dot_strength_red",
-     {"xla_tpu_enable_dot_strength_reduction": "false"}),
+     {"xla_tpu_enable_dot_strength_reduction": "False"}),
     # aggressive loop fusion variants
     ("no_nested_loop_fusion",
-     {"xla_tpu_enable_multi_level_nested_loop_fusion": "false"}),
+     {"xla_tpu_enable_multi_level_nested_loop_fusion": "False"}),
 ]
 
 
@@ -107,17 +107,32 @@ def main():
         if names and name not in names:
             continue
         print(f"--- {name}: {opts}", flush=True)
-        try:
-            t0 = time.time()
-            state = jax.device_put(state_host)
-            compiled = (jax.jit(raw_step, donate_argnums=(0,))
-                        .lower(state, batch, rng)
-                        .compile(compiler_options=opts or None))
-            compile_s = time.time() - t0
-        except Exception as exc:
-            print(f"    rejected: {type(exc).__name__}: "
-                  f"{str(exc)[:300]}", flush=True)
-            results[name] = {"opts": opts, "rejected": str(exc)[:300]}
+        # Bool-value casing differs per parser: DebugOptions proto fields
+        # want "True"/"False", libtpu env-style overrides want
+        # "true"/"false". Try as written, then the flipped casing.
+        tries = [opts]
+        flipped = {k: ({"True": "true", "False": "false", "true": "True",
+                        "false": "False"}.get(v, v)) for k, v in
+                   opts.items()}
+        if flipped != opts:
+            tries.append(flipped)
+        compiled = None
+        for attempt in tries:
+            try:
+                t0 = time.time()
+                state = jax.device_put(state_host)
+                compiled = (jax.jit(raw_step, donate_argnums=(0,))
+                            .lower(state, batch, rng)
+                            .compile(compiler_options=attempt or None))
+                compile_s = time.time() - t0
+                opts = attempt
+                break
+            except Exception as exc:
+                print(f"    rejected ({attempt}): {type(exc).__name__}: "
+                      f"{str(exc)[:300]}", flush=True)
+                results[name] = {"opts": attempt,
+                                 "rejected": str(exc)[:300]}
+        if compiled is None:
             continue
         for _ in range(args.warmup):
             state, losses = compiled(state, batch, rng)

@@ -177,27 +177,20 @@ def decompose_affine(matrix, offset):
     return (a, b, c, t1), (d, e, f, t2), (g, h, i_, t3)
 
 
-# einsum per (resampled axis, batch axis): W [other, S_out, S_in] against
-# the volume [X, Y, Z, C]; output always [X, Y, Z, C].
-_AXIS_EINSUM = {
-    (0, 1): "yxi,iyzc->xyzc",
-    (0, 2): "zxi,iyzc->xyzc",
-    (1, 0): "xyi,xizc->xyzc",
-    (1, 2): "zyi,xizc->xyzc",
-    (2, 0): "xzi,xyic->xyzc",
-    (2, 1): "yzi,xyic->xyzc",
-}
-
-
 def _axis_pass(vol, axis, other, own, oth, t, order):
     """One 1D resample along ``axis``: source position
     ``own * pos_axis + oth * pos_other + t``, zeros padding.
 
     The interpolation weights form a banded [S_other, S_out, S_in] matrix
-    (dense for simplicity — a few tens of MB at AMOS size) applied as a
-    batched matmul: pure MXU work, no gathers. order=1 -> hat weights
-    (linear); order=0 -> one-hot at round(source) (nearest; EXACT for
-    integer labels since the weight rows are {0, 1})."""
+    (dense for simplicity — a few tens of MB at AMOS size) applied as an
+    explicit batched ``dot_general`` (batch = the coupled ``other`` axis,
+    contraction minor on both operands): pure MXU work, no gathers. The
+    earlier einsum spelling ("yxi,iyzc->xyzc" — batch dim mid-operand,
+    contraction leading) lowered as broadcast-multiply-reduce and cost
+    ~660 ms/volume at AMOS size; this formulation is a real batched
+    matmul. order=1 -> hat weights (linear); order=0 -> one-hot at
+    round(source) (nearest; EXACT for integer labels since the weight
+    rows are {0, 1})."""
     S = vol.shape[axis]
     So = vol.shape[other]
     pos = jnp.arange(S, dtype=jnp.float32)
@@ -209,7 +202,15 @@ def _axis_pass(vol, axis, other, own, oth, t, order):
         w = (jnp.floor(s + 0.5)[..., None] == pos).astype(jnp.float32)
     # rows whose source lies outside [0, S-1] decay to partial/zero weight
     # automatically (the missing taps contribute nothing) == zeros padding.
-    return jnp.einsum(_AXIS_EINSUM[(axis, other)], w, vol)
+    w = w.astype(vol.dtype)
+    # vol [. . . C] -> [So, S_in, R]: batch leading, contraction next
+    vt = jnp.moveaxis(vol, (other, axis), (0, 1))
+    rest = vt.shape[2:]
+    vt = vt.reshape(So, S, -1)
+    # [So, S_out, S_in] x [So, S_in, R] -> [So, S_out, R]
+    out = jax.lax.dot_general(w, vt, (((2,), (1,)), ((0,), (0,))))
+    out = out.reshape(So, S, *rest)
+    return jnp.moveaxis(out, (0, 1), (other, axis))
 
 
 def affine_resample_separable(volume, matrix, offset, order):

@@ -399,11 +399,17 @@ class Trainer:
             from transoar_tpu.parallel.tp import state_shardings
 
             state_sh = state_shardings(state, self._mesh, fsdp=fsdp)
+        # trainer.xla_options: per-compile XLA overrides (str->str), e.g.
+        # {"xla_tpu_scoped_vmem_limit_kib": "65536"}. The measured matrix
+        # lives in PERFORMANCE.md (scripts/sweep_xla_flags.py); default
+        # empty = compiler defaults.
+        xla_opts = dict(config["trainer"].get("xla_options") or {}) or None
         self._train_step = jax.jit(
             make_train_step(model, self._criterion, config, anchors,
                             mesh=self._mesh),
             donate_argnums=(0,),
             out_shardings=(state_sh, replicated),
+            compiler_options=xla_opts,
         )
         # multi-step dispatch (amortizes host->device dispatch latency)
         self._steps_per_dispatch = int(
@@ -414,6 +420,7 @@ class Trainer:
                                       anchors, mesh=self._mesh),
                 donate_argnums=(0,),
                 out_shardings=(state_sh, replicated),
+                compiler_options=xla_opts,
             )
         # Eval outputs are replicated (out_shardings) so Trainer._validate's
         # jax.device_get works in multi-process runs too — dp-sharded eval
@@ -422,7 +429,7 @@ class Trainer:
         self._eval_step = jax.jit(
             make_eval_step(model, self._criterion, config, anchors,
                            mesh=self._mesh),
-            out_shardings=replicated)
+            out_shardings=replicated, compiler_options=xla_opts)
 
         # A restored checkpoint (--resume) comes back COMMITTED to one
         # device; jit refuses to mix that with mesh-sharded batch inputs.
